@@ -1,0 +1,461 @@
+"""Typed experiment configuration.
+
+Mirrors the YAML schema defined implicitly by the reference's
+``configs/unet_fl70.yaml:1-217`` (loaded by the thin, unvalidated
+``light_unet/core/config.py:12-28``).  Differences, by design:
+
+* the schema is explicit (dataclasses) and validated at load time;
+* unknown keys are preserved so configs round-trip;
+* we never write the resolved config back to its source file (the reference's
+  ``scripts/train.py:55`` mutates the source YAML — a documented defect);
+* a ``tpu`` section adds TPU-native knobs (compute dtype, patch batch,
+  device-mesh axes) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import yaml
+
+
+class ConfigError(ValueError):
+    """Raised when a config fails schema validation."""
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    out = copy.deepcopy(base)
+    for k, v in (override or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# schema sections (field names match the YAML keys 1:1)
+
+
+@dataclass
+class AugmentationConfig:
+    random_flip: Dict[str, Any] = field(
+        default_factory=lambda: {"enabled": True, "prob": 0.5, "axes": [0, 1, 2]}
+    )
+    random_rotation: Dict[str, Any] = field(
+        default_factory=lambda: {
+            "enabled": True,
+            "prob": 0.5,
+            "angle_range": [-15, 15],
+            "axes": [[0, 1], [0, 2], [1, 2]],
+        }
+    )
+    random_scale: Dict[str, Any] = field(
+        default_factory=lambda: {"enabled": True, "prob": 0.3, "scale_range": [0.9, 1.1]}
+    )
+    random_crop: Dict[str, Any] = field(
+        default_factory=lambda: {"enabled": True, "ensure_lesion_coverage": True}
+    )
+    intensity_shift: Dict[str, Any] = field(
+        default_factory=lambda: {"enabled": True, "prob": 0.5, "shift_range": [-0.1, 0.1]}
+    )
+    gaussian_noise: Dict[str, Any] = field(
+        default_factory=lambda: {"enabled": True, "prob": 0.3, "mean": 0.0, "sigma": 0.01}
+    )
+
+
+@dataclass
+class BodyMaskConfig:
+    enabled: bool = True
+    threshold: float = 0.02
+    closing_voxels: int = 5
+    keep_largest_component: bool = True
+    dilate_voxels: int = 3
+    apply_to_training_sampling: bool = True
+    apply_to_validation: bool = True
+    apply_to_inference: bool = True
+
+
+@dataclass
+class DomainsConfig:
+    fl_prefix_max: int = 122
+    dlbcl_prefix_min: int = 1000
+    dlbcl_prefix_max: int = 1422
+
+
+@dataclass
+class IntensityConfig:
+    clip_percentile_low: float = 0.5
+    clip_percentile_high: float = 99.5
+    normalization_range: List[float] = field(default_factory=lambda: [0, 1])
+
+
+@dataclass
+class SpacingConfig:
+    original: List[float] = field(default_factory=lambda: [4.0, 4.0, 4.0])
+    target: List[float] = field(default_factory=lambda: [4.0, 4.0, 4.0])
+
+
+@dataclass
+class SplitRatioConfig:
+    train: float = 0.7
+    val: float = 0.15
+    test: float = 0.15
+
+
+@dataclass
+class VolumeThresholdConfig:
+    train_cc: float = 0.1
+    inference_cc: float = 0.5
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "Follicular_Lymphoma"
+    bbox_expansion_mm: float = 10.0
+    bbox_expansion_voxels: int = 3
+    body_mask: BodyMaskConfig = field(default_factory=BodyMaskConfig)
+    domains: DomainsConfig = field(default_factory=DomainsConfig)
+    image_size: List[Optional[int]] = field(default_factory=lambda: [144, 144, None])
+    intensity: IntensityConfig = field(default_factory=IntensityConfig)
+    patch_size: List[int] = field(default_factory=lambda: [48, 48, 48])
+    spacing: SpacingConfig = field(default_factory=SpacingConfig)
+    split_ratio: SplitRatioConfig = field(default_factory=SplitRatioConfig)
+    total_cases: int = 123
+    volume_threshold: VolumeThresholdConfig = field(default_factory=VolumeThresholdConfig)
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "FL70_Lightweight_3DUNet"
+    description: str = ""
+    processing_path: str = "B"
+    seed: int = 42
+
+
+@dataclass
+class LossConfig:
+    name: str = "FocalTverskyLoss"
+    alpha: float = 0.7
+    beta: float = 0.3
+    gamma: float = 0.75
+    use_combined_loss: bool = False
+    combined_loss_weights: Dict[str, float] = field(
+        default_factory=lambda: {"focal_tversky": 0.8, "bce": 0.2}
+    )
+
+    def validate(self):
+        if abs(self.alpha + self.beta - 1.0) > 1e-6:
+            raise ConfigError(f"loss.alpha + loss.beta must equal 1.0, got {self.alpha + self.beta}")
+        w = self.combined_loss_weights
+        if self.use_combined_loss and abs(w["focal_tversky"] + w["bce"] - 1.0) > 1e-6:
+            raise ConfigError("combined_loss_weights must sum to 1.0")
+        if self.name not in ("FocalTverskyLoss", "DiceLoss"):
+            raise ConfigError(f"unknown loss {self.name!r}")
+
+
+@dataclass
+class ModelSelectionConfig:
+    primary_metric: str = "lesion_wise_recall"
+    tie_breaker: str = "voxel_wise_dsc"
+    tie_threshold: float = 0.01
+
+
+@dataclass
+class MetricsConfig:
+    primary: str = "lesion_wise_recall"
+    secondary: List[str] = field(
+        default_factory=lambda: ["voxel_wise_dsc", "lesion_wise_precision", "fp_per_case"]
+    )
+    model_selection: ModelSelectionConfig = field(default_factory=ModelSelectionConfig)
+
+
+@dataclass
+class ModelConfig:
+    name: str = "Lightweight3DUNet"
+    start_channels: int = 16
+    encoder_channels: List[int] = field(default_factory=lambda: [16, 32, 64, 128])
+    output_channels: int = 1
+    groups: int = 8
+    use_depthwise_separable: bool = True
+    use_grouped_conv: bool = True
+    use_residual: bool = True
+    use_dropout: bool = True
+    dropout_p: float = 0.1
+    normalization: str = "InstanceNorm3d"
+    activation: str = "LeakyReLU"
+    leaky_relu_slope: float = 0.01
+    output_activation: str = "Sigmoid"
+
+    def validate(self):
+        if len(self.encoder_channels) != 4:
+            raise ConfigError("model.encoder_channels must have 4 levels")
+        if self.name != "Lightweight3DUNet":
+            raise ConfigError(f"unknown model {self.name!r}")
+
+
+@dataclass
+class OutputConfig:
+    best_model_path: str = "models/best_model.pth"
+    best_model_criterion: str = "val_recall"
+    checkpoint_dir: str = "models/checkpoints"
+    save_checkpoints: bool = True
+    save_every_n_epochs: int = 10
+    keep_last_n_checkpoints: int = 5
+    log_dir: str = "logs"
+    tensorboard_dir: str = "logs/tensorboard"
+    prob_maps_dir: str = "inference/prob_maps"
+    bboxes_dir: str = "inference/bboxes"
+    metrics_csv: str = "inference/metrics.csv"
+    save_metadata: bool = True
+    metadata_fields: List[str] = field(
+        default_factory=lambda: [
+            "case_id",
+            "orig_spacing",
+            "image_size",
+            "suv_calculated",
+            "clip_values",
+            "normalization_range",
+            "patch_size",
+            "voxel_thresholds",
+            "processing_timestamp",
+            "processing_path",
+            "seed",
+        ]
+    )
+
+
+@dataclass
+class MixedDomainsConfig:
+    enabled: bool = False
+    mode: str = "fl_epoch_plus_dlbcl"
+    fl_ratio: float = 0.5
+    dlbcl_ratio: float = 0.5
+    dlbcl_steps: Optional[int] = None
+    dlbcl_steps_ratio: float = 1.0
+
+    def validate(self):
+        if self.mode not in ("fl_epoch_plus_dlbcl", "probabilistic"):
+            raise ConfigError(f"unknown mixed_domains.mode {self.mode!r}")
+
+
+@dataclass
+class SchedulerConfig:
+    name: str = "CosineAnnealingLR"
+    T_max: int = 200
+    eta_min: float = 1.0e-06
+    # ReduceLROnPlateau knobs
+    mode: str = "max"
+    factor: float = 0.5
+    patience: int = 10
+    min_lr: float = 1.0e-06
+
+    def validate(self):
+        if self.name not in ("CosineAnnealingLR", "ReduceLROnPlateau"):
+            raise ConfigError(f"unknown scheduler {self.name!r}")
+
+
+@dataclass
+class EarlyStoppingConfig:
+    enabled: bool = True
+    metric: str = "recall"
+    mode: str = "max"
+    patience: int = 20
+
+
+@dataclass
+class ClassBalancedSamplingConfig:
+    enabled: bool = True
+    lesion_patch_ratio: float = 0.5
+    min_lesion_patches_per_batch: int = 1
+
+
+@dataclass
+class TrainingConfig:
+    batch_size: int = 2
+    epochs: int = 200
+    learning_rate: float = 1.0e-4
+    weight_decay: float = 1.0e-5
+    optimizer: str = "AdamW"
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
+    class_balanced_sampling: ClassBalancedSamplingConfig = field(
+        default_factory=ClassBalancedSamplingConfig
+    )
+    mixed_domains: MixedDomainsConfig = field(default_factory=MixedDomainsConfig)
+    use_warmup: bool = True
+    warmup_epochs: int = 5
+
+    def validate(self):
+        if self.optimizer != "AdamW":
+            raise ConfigError(f"unknown optimizer {self.optimizer!r}")
+        self.scheduler.validate()
+        self.mixed_domains.validate()
+
+
+@dataclass
+class LesionMatchingConfig:
+    iou_threshold: float = 0.1
+    center_distance_threshold_mm: float = 10.0
+
+
+@dataclass
+class ValidationConfig:
+    default_threshold: float = 0.3
+    threshold_sensitivity_range: List[float] = field(
+        default_factory=lambda: [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7]
+    )
+    lesion_matching: LesionMatchingConfig = field(default_factory=LesionMatchingConfig)
+    validate_every_n_epochs: int = 1
+
+
+@dataclass
+class TpuConfig:
+    """TPU-native knobs (no reference counterpart)."""
+
+    compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params stay f32
+    patch_batch: int = 32  # patches per sliding-window forward chunk
+    data_axis: str = "data"  # mesh axis for data parallelism
+    mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
+    prefetch_depth: int = 3  # host loader prefetch queue depth
+    cache_volumes: bool = True  # keep decoded volumes in host RAM
+    use_pallas: bool = True  # enable fused Pallas kernels where beneficial
+    z_bucket: int = 48  # pad volume Z to multiple (bounds recompiles)
+    donate_state: bool = True
+
+
+@dataclass
+class Config:
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    metrics: MetricsConfig = field(default_factory=MetricsConfig)
+    augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    validation: ValidationConfig = field(default_factory=ValidationConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    tpu: TpuConfig = field(default_factory=TpuConfig)
+    data_dir: str = "data/processed"
+    splits_dir: str = "data/splits"
+    # passthrough sections we keep but don't act on (parity with reference YAML)
+    audit: Dict[str, Any] = field(default_factory=dict)
+    target_performance: Dict[str, Any] = field(default_factory=dict)
+
+    _extras: Dict[str, Any] = field(default_factory=dict, repr=False)
+
+    # ------------------------------------------------------------------
+    def validate(self) -> "Config":
+        self.loss.validate()
+        self.model.validate()
+        self.training.validate()
+        sr = self.data.split_ratio
+        if abs(sr.train + sr.val + sr.test - 1.0) > 1e-6:
+            raise ConfigError("data.split_ratio must sum to 1.0")
+        if len(self.data.patch_size) != 3 or any(p <= 0 for p in self.data.patch_size):
+            raise ConfigError("data.patch_size must be 3 positive ints")
+        if not 0.0 < self.validation.default_threshold < 1.0:
+            raise ConfigError("validation.default_threshold must be in (0,1)")
+        return self
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        cfg = _from_dict(cls, d or {})
+        return cfg.validate()
+
+    def to_dict(self) -> Dict[str, Any]:
+        return _to_dict(self)
+
+    @classmethod
+    def load(cls, path: Union[str, Path]) -> "Config":
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    def save(self, path: Union[str, Path]) -> None:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, default_flow_style=False, sort_keys=True)
+
+
+# ---------------------------------------------------------------------------
+# generic dataclass <-> dict plumbing (preserves unknown keys in _extras)
+
+
+def _from_dict(cls, d: Dict[str, Any]):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs: Dict[str, Any] = {}
+    extras: Dict[str, Any] = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in d.items():
+        if key in fields:
+            ftype = fields[key].type
+            fcls = _resolve_dataclass(fields[key])
+            if fcls is not None and isinstance(value, dict):
+                kwargs[key] = _from_dict(fcls, value)
+            else:
+                kwargs[key] = copy.deepcopy(value)
+        else:
+            extras[key] = copy.deepcopy(value)
+    obj = cls(**kwargs)
+    if extras and hasattr(obj, "_extras"):
+        obj._extras = extras
+    elif extras:
+        object.__setattr__(obj, "_nested_extras", extras)
+    return obj
+
+
+def _resolve_dataclass(f: dataclasses.Field):
+    # default_factory instances tell us the nested dataclass type
+    if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+        probe = f.default_factory()  # type: ignore[misc]
+        if dataclasses.is_dataclass(probe):
+            return type(probe)
+    if dataclasses.is_dataclass(f.default):
+        return type(f.default)
+    return None
+
+
+def _to_dict(obj) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for f in dataclasses.fields(obj):
+        if f.name == "_extras":
+            continue
+        value = getattr(obj, f.name)
+        if dataclasses.is_dataclass(value):
+            sub = _to_dict(value)
+            nested = getattr(value, "_nested_extras", None)
+            if nested:
+                sub.update(copy.deepcopy(nested))
+            out[f.name] = sub
+        else:
+            out[f.name] = copy.deepcopy(value)
+    extras = getattr(obj, "_extras", None)
+    if extras:
+        out.update(copy.deepcopy(extras))
+    return out
+
+
+class ConfigManager:
+    """Drop-in equivalent of the reference's ``ConfigManager`` facade
+    (``light_unet/core/config.py:12-28``) returning a validated ``Config``."""
+
+    @staticmethod
+    def load(path: Union[str, Path]) -> Config:
+        return Config.load(path)
+
+    @staticmethod
+    def save(config: Union[Config, Dict[str, Any]], path: Union[str, Path]) -> None:
+        if isinstance(config, dict):
+            config = Config.from_dict(config)
+        config.save(path)

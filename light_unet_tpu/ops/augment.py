@@ -1,0 +1,137 @@
+"""On-device patch augmentation (jit + vmap, threaded PRNG keys).
+
+Capability parity with the reference's per-worker scipy augmentation
+(``light_unet/datasets/patch_dataset.py:156-220``): random flip (p 0.5, axis
+from config), random rotation +-15 deg in a random axis pair (p 0.5, image
+order-1 / label order-0), random scale 0.9-1.1 (p 0.3), intensity shift
++-0.1 with clip [0,1] (p 0.5), Gaussian noise sigma 0.01 with clip (p 0.3).
+
+TPU-first redesign: rotation and scale are composed into ONE affine
+``map_coordinates`` resample (trilinear for the image, nearest for the
+label) executed inside the jitted train step, vmapped over the batch —
+instead of two sequential scipy spline passes per sample on host workers.
+Inactive transforms degrade to exact identities (angle 0 / scale 1 sample at
+integer coordinates), so the branchless form is numerically exact.
+Randomness comes from threaded ``jax.random`` keys: deterministic for a
+given seed regardless of host scheduling (the reference's 16 forked workers
+share numpy seed state and are not reproducible — SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+
+def _affine_resample(image, label, angle_rad, axis_pair_idx, scale, pairs):
+    """Rotate by ``angle_rad`` in the plane of ``pairs[axis_pair_idx]`` and
+    scale about the volume center, in one trilinear/nearest resample."""
+    shape = image.shape
+    center = jnp.array([(s - 1) / 2.0 for s in shape], jnp.float32)
+
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+
+    def rot_matrix(pair):
+        a, b = pair
+        m = jnp.eye(3, dtype=jnp.float32)
+        m = m.at[a, a].set(cos).at[a, b].set(-sin)
+        m = m.at[b, a].set(sin).at[b, b].set(cos)
+        return m
+
+    rots = jnp.stack([rot_matrix(p) for p in pairs])  # [n_pairs, 3, 3]
+    rot = rots[axis_pair_idx]
+
+    grid = jnp.stack(
+        jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in shape], indexing="ij"),
+        axis=0,
+    )  # [3, D, H, W]
+    rel = grid - center[:, None, None, None]
+    # inverse map: output voxel -> input coordinate (rotate back, unscale)
+    src = jnp.einsum("ij,jdhw->idhw", rot.T, rel) / scale + center[:, None, None, None]
+    coords = [src[0], src[1], src[2]]
+    img_out = map_coordinates(image, coords, order=1, mode="constant", cval=0.0)
+    lbl_out = map_coordinates(label, coords, order=0, mode="constant", cval=0.0)
+    return img_out, lbl_out
+
+
+def make_augment_fn(aug_cfg, patch_size: Tuple[int, int, int]) -> Callable:
+    """Build ``fn(rng, images[B,D,H,W,1], labels) -> (images, labels)``.
+
+    ``aug_cfg`` is an ``AugmentationConfig``; all probabilities/ranges are
+    baked in as compile-time constants.
+    """
+    flip = aug_cfg.random_flip
+    rot = aug_cfg.random_rotation
+    scale_cfg = aug_cfg.random_scale
+    shift_cfg = aug_cfg.intensity_shift
+    noise_cfg = aug_cfg.gaussian_noise
+
+    flip_axes = tuple(flip.get("axes", [0, 1, 2]))
+    rot_pairs = tuple(tuple(p) for p in rot.get("axes", [[0, 1], [0, 2], [1, 2]]))
+    angle_lo, angle_hi = rot.get("angle_range", [-15, 15])
+    scale_lo, scale_hi = scale_cfg.get("scale_range", [0.9, 1.1])
+    shift_lo, shift_hi = shift_cfg.get("shift_range", [-0.1, 0.1])
+    sigma = noise_cfg.get("sigma", 0.01)
+
+    def augment_one(rng, image, label):
+        # image/label: [D, H, W]
+        keys = jax.random.split(rng, 10)
+
+        if flip.get("enabled", False):
+            do = jax.random.bernoulli(keys[0], flip.get("prob", 0.5))
+            which = jax.random.randint(keys[1], (), 0, len(flip_axes))
+
+            def flip_axis(i):
+                ax = flip_axes[i]
+                return jnp.flip(image, axis=ax), jnp.flip(label, axis=ax)
+
+            flipped = jax.lax.switch(which, [lambda i=i: flip_axis(i) for i in range(len(flip_axes))])
+            image = jnp.where(do, flipped[0], image)
+            label = jnp.where(do, flipped[1], label)
+
+        do_rot = rot.get("enabled", False)
+        do_scale = scale_cfg.get("enabled", False)
+        if do_rot or do_scale:
+            angle = jnp.float32(0.0)
+            pair_idx = jnp.int32(0)
+            scale = jnp.float32(1.0)
+            if do_rot:
+                hit = jax.random.bernoulli(keys[2], rot.get("prob", 0.5))
+                angle = jnp.where(
+                    hit,
+                    jax.random.uniform(keys[3], (), minval=angle_lo, maxval=angle_hi)
+                    * (jnp.pi / 180.0),
+                    0.0,
+                )
+                pair_idx = jax.random.randint(keys[4], (), 0, len(rot_pairs))
+            if do_scale:
+                hit = jax.random.bernoulli(keys[5], scale_cfg.get("prob", 0.3))
+                scale = jnp.where(
+                    hit, jax.random.uniform(keys[6], (), minval=scale_lo, maxval=scale_hi), 1.0
+                )
+            image, label = _affine_resample(image, label, angle, pair_idx, scale, rot_pairs)
+
+        if shift_cfg.get("enabled", False):
+            do = jax.random.bernoulli(keys[7], shift_cfg.get("prob", 0.5))
+            shift = jax.random.uniform(keys[8], (), minval=shift_lo, maxval=shift_hi)
+            image = jnp.where(do, jnp.clip(image + shift, 0.0, 1.0), image)
+
+        if noise_cfg.get("enabled", False):
+            do = jax.random.bernoulli(keys[9], noise_cfg.get("prob", 0.3))
+            noise = sigma * jax.random.normal(jax.random.fold_in(keys[9], 1), image.shape)
+            image = jnp.where(do, jnp.clip(image + noise, 0.0, 1.0), image)
+
+        return image, label
+
+    def augment_batch(rng, images, labels):
+        b = images.shape[0]
+        keys = jax.random.split(rng, b)
+        img3 = images[..., 0]
+        lbl3 = labels[..., 0]
+        img_a, lbl_a = jax.vmap(augment_one)(keys, img3, lbl3)
+        return img_a[..., None], lbl_a[..., None]
+
+    return augment_batch

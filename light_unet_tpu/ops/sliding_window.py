@@ -1,0 +1,198 @@
+"""Batched sliding-window 3D inference, jit-compiled end-to-end.
+
+Functional parity with the reference's ``sliding_window_inference_3d``
+(``light_unet/utils.py:11-139``): 48^3 windows at overlap 0.5 (stride 24),
+tail windows snapped to the volume edge (``utils.py:68-73``), zero-padding
+for volumes smaller than the patch, Gaussian importance blending
+(sigma = len/6), weighted accumulation and normalization.
+
+TPU-first redesign — NOT the reference's serial loop:
+
+* the reference runs one 48^3 patch per forward (batch=1) with a host<->device
+  round trip per patch (``utils.py:115-120``); here ALL patches are gathered
+  on device with a vmapped ``dynamic_slice``, run through the network in
+  chunks of ``patch_batch``, and blended with on-device accumulation — one
+  device program per volume, zero per-patch host traffic;
+* volume Z is padded to a bucket so XLA programs are reused across cases
+  with different Z extents (positions are still computed from the ORIGINAL
+  dims, so numerics match the reference exactly);
+* the patch axis can be sharded across a device mesh (see
+  ``parallel/mesh.py``) — each device accumulates its patch subset and the
+  partial maps are summed with ``psum`` over ICI.
+
+Output in the valid (un-padded) region is numerically identical to the
+reference algorithm: accumulating a full patch into the padded buffer and
+cropping afterwards is the same as the reference's cropped accumulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from light_unet_tpu.ops.gaussian import gaussian_importance_map
+
+
+def compute_positions(
+    shape: Sequence[int], patch_size: Sequence[int], overlap: float = 0.5
+) -> np.ndarray:
+    """Window origin positions per axis, reproducing the reference's
+    stride + edge-snap logic (``utils.py:47-81``).  Returns [N, 3] int32."""
+    per_axis = []
+    for dim, p in zip(shape, patch_size):
+        stride = max(1, int(p * (1.0 - overlap)))
+        if dim >= p:
+            pos = list(range(0, dim - p + 1, stride))
+            if dim > p and (not pos or pos[-1] + p < dim):
+                pos.append(dim - p)
+        else:
+            pos = [0]
+        if not pos:
+            pos = [0]
+        per_axis.append(pos)
+    grid = np.stack(np.meshgrid(*per_axis, indexing="ij"), axis=-1).reshape(-1, 3)
+    return grid.astype(np.int32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucketed_shape(
+    shape: Sequence[int], patch_size: Sequence[int], z_bucket: int = 48
+) -> Tuple[int, int, int]:
+    """Padded (compile-bucket) shape: every axis at least the patch size,
+    the last axis rounded to a multiple of ``z_bucket``."""
+    out = [max(int(d), int(p)) for d, p in zip(shape, patch_size)]
+    out[2] = _round_up(out[2], z_bucket)
+    return tuple(out)  # type: ignore[return-value]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "patch_size", "chunk"),
+)
+def _sliding_window_jit(
+    params,
+    volume,  # [Dp, Hp, Wp] f32, zero-padded to bucket shape
+    positions,  # [Nmax, 3] i32 (dummies point at origin)
+    mask,  # [Nmax] f32, 1=real patch 0=padding
+    imp_map,  # [pd, ph, pw] f32
+    *,
+    apply_fn: Callable,
+    patch_size: Tuple[int, int, int],
+    chunk: int,
+):
+    n = positions.shape[0]
+    n_chunks = n // chunk
+    pos_c = positions.reshape(n_chunks, chunk, 3)
+    mask_c = mask.reshape(n_chunks, chunk)
+
+    prob = jnp.zeros(volume.shape, jnp.float32)
+    count = jnp.zeros(volume.shape, jnp.float32)
+
+    def run_chunk(carry, inputs):
+        prob, count = carry
+        pos, msk = inputs
+
+        def gather(p):
+            return lax.dynamic_slice(volume, (p[0], p[1], p[2]), patch_size)
+
+        patches = jax.vmap(gather)(pos)  # [chunk, pd, ph, pw]
+        preds = apply_fn(params, patches[..., None])[..., 0].astype(jnp.float32)
+        weights = imp_map[None] * msk[:, None, None, None]  # zero for dummies
+        weighted = preds * weights
+
+        def scatter_one(i, acc):
+            prob, count = acc
+            p = pos[i]
+            idx = (p[0], p[1], p[2])
+            cur = lax.dynamic_slice(prob, idx, patch_size)
+            prob = lax.dynamic_update_slice(prob, cur + weighted[i], idx)
+            cur_c = lax.dynamic_slice(count, idx, patch_size)
+            count = lax.dynamic_update_slice(count, cur_c + weights[i], idx)
+            return prob, count
+
+        prob, count = lax.fori_loop(0, chunk, scatter_one, (prob, count))
+        return (prob, count), None
+
+    (prob, count), _ = lax.scan(run_chunk, (prob, count), (pos_c, mask_c))
+    return jnp.where(count > 0, prob / jnp.where(count > 0, count, 1.0), prob)
+
+
+class SlidingWindowInferencer:
+    """Reusable, compile-cached sliding-window engine for one model."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        patch_size: Sequence[int] = (48, 48, 48),
+        overlap: float = 0.5,
+        use_gaussian: bool = True,
+        patch_batch: int = 32,
+        z_bucket: int = 48,
+    ):
+        self.apply_fn = apply_fn
+        self.patch_size = tuple(int(p) for p in patch_size)
+        self.overlap = float(overlap)
+        self.patch_batch = int(patch_batch)
+        self.z_bucket = int(z_bucket)
+        if use_gaussian:
+            self.imp_map = gaussian_importance_map(self.patch_size)
+        else:
+            self.imp_map = np.ones(self.patch_size, dtype=np.float32)
+
+    def __call__(self, params, volume: np.ndarray) -> np.ndarray:
+        """volume [D,H,W] (numpy or jax) -> probability map [D,H,W] float32."""
+        volume = np.asarray(volume, dtype=np.float32)
+        if volume.ndim == 4 and volume.shape[0] == 1:
+            volume = volume[0]
+        if volume.ndim != 3:
+            raise ValueError(f"expected 3D volume, got shape {volume.shape}")
+        shape = volume.shape
+
+        positions = compute_positions(shape, self.patch_size, self.overlap)
+        n = positions.shape[0]
+        n_pad = _round_up(max(n, 1), self.patch_batch)
+        pos_padded = np.zeros((n_pad, 3), dtype=np.int32)
+        pos_padded[:n] = positions
+        mask = np.zeros((n_pad,), dtype=np.float32)
+        mask[:n] = 1.0
+
+        pshape = bucketed_shape(shape, self.patch_size, self.z_bucket)
+        vol_padded = np.zeros(pshape, dtype=np.float32)
+        vol_padded[: shape[0], : shape[1], : shape[2]] = volume
+
+        out = _sliding_window_jit(
+            params,
+            jnp.asarray(vol_padded),
+            jnp.asarray(pos_padded),
+            jnp.asarray(mask),
+            jnp.asarray(self.imp_map),
+            apply_fn=self.apply_fn,
+            patch_size=self.patch_size,
+            chunk=self.patch_batch,
+        )
+        return np.asarray(out)[: shape[0], : shape[1], : shape[2]]
+
+
+def sliding_window_inference_3d(
+    volume: np.ndarray,
+    apply_fn: Callable,
+    params,
+    patch_size: Sequence[int] = (48, 48, 48),
+    overlap: float = 0.5,
+    use_gaussian: bool = True,
+    patch_batch: int = 32,
+    z_bucket: int = 48,
+) -> np.ndarray:
+    """One-shot convenience wrapper (API parity with ``utils.py:11``)."""
+    runner = SlidingWindowInferencer(
+        apply_fn, patch_size, overlap, use_gaussian, patch_batch, z_bucket
+    )
+    return runner(params, volume)

@@ -1,0 +1,75 @@
+"""Config schema: defaults, validation, YAML round-trip, reference parity."""
+
+import yaml
+import pytest
+
+from light_unet_tpu.config import Config, ConfigError, ConfigManager
+
+
+def test_defaults_match_reference_spec():
+    cfg = Config()
+    assert cfg.data.patch_size == [48, 48, 48]
+    assert cfg.data.spacing.target == [4.0, 4.0, 4.0]
+    assert cfg.loss.alpha == 0.7 and cfg.loss.beta == 0.3 and cfg.loss.gamma == 0.75
+    assert cfg.training.batch_size == 2
+    assert cfg.training.learning_rate == 1e-4
+    assert cfg.training.scheduler.T_max == 200
+    assert cfg.validation.default_threshold == 0.3
+    assert cfg.validation.threshold_sensitivity_range == [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7]
+    assert cfg.data.volume_threshold.inference_cc == 0.5
+    assert cfg.metrics.model_selection.tie_threshold == 0.01
+
+
+def test_validation_rejects_bad_loss():
+    with pytest.raises(ConfigError):
+        Config.from_dict({"loss": {"alpha": 0.9, "beta": 0.3}})
+
+
+def test_validation_rejects_bad_split():
+    with pytest.raises(ConfigError):
+        Config.from_dict({"data": {"split_ratio": {"train": 0.5, "val": 0.1, "test": 0.1}}})
+
+
+def test_roundtrip_preserves_unknown_keys(tmp_path):
+    d = {"experiment": {"seed": 7, "custom_tag": "xyz"}, "my_extension": {"a": 1}}
+    cfg = Config.from_dict(d)
+    out = cfg.to_dict()
+    assert out["experiment"]["seed"] == 7
+    assert out["experiment"]["custom_tag"] == "xyz"
+    assert out["my_extension"] == {"a": 1}
+    path = tmp_path / "cfg.yaml"
+    cfg.save(path)
+    cfg2 = Config.load(path)
+    assert cfg2.experiment.seed == 7
+    assert cfg2.to_dict()["my_extension"] == {"a": 1}
+
+
+def test_loads_reference_yaml(reference_config_path):
+    """Every key of the reference's unet_fl70.yaml must load and survive a
+    round trip (schema parity with configs/unet_fl70.yaml:1-217)."""
+    with open(reference_config_path) as f:
+        raw = yaml.safe_load(f)
+    cfg = Config.from_dict(raw)
+    assert cfg.experiment.seed == 42
+    assert cfg.model.encoder_channels == [16, 32, 64, 128]
+    assert cfg.training.mixed_domains.enabled is False
+    assert cfg.data.body_mask.closing_voxels == 5
+
+    out = cfg.to_dict()
+
+    def deep_keys(d, prefix=""):
+        for k, v in d.items():
+            yield f"{prefix}{k}"
+            if isinstance(v, dict):
+                yield from deep_keys(v, f"{prefix}{k}.")
+
+    missing = [k for k in deep_keys(raw) if k not in set(deep_keys(out))]
+    assert missing == [], f"keys lost in round trip: {missing}"
+
+
+def test_config_manager_facade(tmp_path):
+    cfg = Config()
+    ConfigManager.save(cfg, tmp_path / "c.yaml")
+    loaded = ConfigManager.load(tmp_path / "c.yaml")
+    assert isinstance(loaded, Config)
+    assert loaded.training.epochs == 200
