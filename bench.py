@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end volumes/sec (NIfTI decode + preprocess + sliding-window
+inference) on reference-scale whole-body PET volumes (144x144x~272 @ 4mm).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "volumes/sec", "vs_baseline": N}
+
+``vs_baseline`` compares against the reference pipeline's execution model —
+a serial per-patch torch forward on the host CPU (the reference is
+single-CUDA-or-CPU; no GPU exists in this environment, and the reference's
+own repo publishes no numbers — BASELINE.md).  The baseline is measured live
+on a sample of patches and extrapolated to the full patch grid.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+VOLUME_SHAPE = (144, 144, 272)
+N_VOLUMES = 6
+PATCH = (48, 48, 48)
+
+
+def _make_volumes(tmpdir: Path, n: int):
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from synthetic import build_raw_dataset
+
+    ids = [f"{i:04d}" for i in range(1, n + 1)]
+    build_raw_dataset(tmpdir, ids, shape=VOLUME_SHAPE, seed=0)
+    return ids
+
+
+def bench_tpu(tmpdir: Path, ids) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from light_unet_tpu.config import Config
+    from light_unet_tpu.models.unet3d import build_model, init_params
+    from light_unet_tpu.ops.body_mask import generate_body_mask
+    from light_unet_tpu.ops.intensity import clip_and_normalize
+    from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
+    from light_unet_tpu.utils import nifti
+
+    cfg = Config()
+    model = build_model(cfg.model, compute_dtype=jnp.bfloat16, inference=True)
+    params = jax.device_put(init_params(model, jax.random.PRNGKey(0), PATCH))
+    sw = SlidingWindowInferencer(
+        lambda p, x: model.apply(p, x, train=False),
+        patch_size=PATCH,
+        overlap=0.5,
+        use_gaussian=True,
+        patch_batch=cfg.tpu.patch_batch,
+        z_bucket=cfg.tpu.z_bucket,
+    )
+
+    def one_volume(cid):
+        img = nifti.load(tmpdir / "images" / f"{cid}_0000.nii.gz").get_fdata(np.float32)
+        norm, _ = clip_and_normalize(img, 0.5, 99.5, (0, 1), z_bucket=cfg.tpu.z_bucket)
+        mask, _ = generate_body_mask(norm, cfg.data.body_mask, z_bucket=cfg.tpu.z_bucket)
+        prob = sw(params, norm)
+        return prob * mask
+
+    # warmup / compile on the first volume
+    t0 = time.time()
+    one_volume(ids[0])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for cid in ids:
+        one_volume(cid)
+    dt = time.time() - t0
+    return {
+        "volumes_per_sec": len(ids) / dt,
+        "seconds_per_volume": dt / len(ids),
+        "compile_seconds": compile_s,
+        "n_volumes": len(ids),
+        "backend": jax.devices()[0].platform,
+    }
+
+
+def bench_torch_cpu_baseline(tmpdir: Path, cid: str, sample_patches: int = 6) -> dict:
+    """Reference-style serial pipeline on torch CPU, extrapolated."""
+    import torch
+    import torch.nn as nn
+    from scipy import ndimage
+
+    from light_unet_tpu.ops.sliding_window import compute_positions
+    from light_unet_tpu.utils import nifti
+
+    torch.set_num_threads(max(1, (torch.get_num_threads())))
+
+    # compact 217K-param U-Net equivalent for timing (same ops/shapes as the
+    # architecture spec; weights random — timing only)
+    def dws(cin, cout):
+        return nn.Sequential(
+            nn.Conv3d(cin, cin, 3, padding=1, groups=cin, bias=False),
+            nn.Conv3d(cin, cout, 1, bias=False),
+        )
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.c1, self.n1 = dws(cin, cout), nn.InstanceNorm3d(cout, affine=True)
+            self.c2, self.n2 = dws(cout, cout), nn.InstanceNorm3d(cout, affine=True)
+            self.short = (
+                nn.Sequential(nn.Conv3d(cin, cout, 1, bias=False), nn.InstanceNorm3d(cout, affine=True))
+                if cin != cout
+                else nn.Identity()
+            )
+            self.act = nn.LeakyReLU(0.01)
+
+        def forward(self, x):
+            r = self.short(x)
+            h = self.act(self.n1(self.c1(x)))
+            return self.act(self.n2(self.c2(h)) + r)
+
+    class Net(nn.Module):
+        def __init__(self, ch=(16, 32, 64, 128)):
+            super().__init__()
+            self.e0 = Block(1, ch[0])
+            self.down = nn.ModuleList([Block(ch[i], ch[i + 1]) for i in range(3)])
+            self.pool = nn.MaxPool3d(2)
+            self.mid = Block(ch[3], ch[3])
+            self.up = nn.ModuleList([nn.ConvTranspose3d(ch[3 - i], ch[3 - i] // 2, 2, 2) for i in range(3)])
+            self.dec = nn.ModuleList([Block(ch[3 - i], ch[2 - i]) for i in range(3)])
+            self.head = nn.Conv3d(ch[0], 1, 1)
+
+        def forward(self, x):
+            skips = [self.e0(x)]
+            h = skips[0]
+            for blk in self.down:
+                h = blk(self.pool(h))
+                skips.append(h)
+            h = self.mid(h)
+            for i in range(3):
+                h = self.up[i](h)
+                h = self.dec[i](torch.cat([h, skips[2 - i]], dim=1))
+            return torch.sigmoid(self.head(h))
+
+    model = Net().eval()
+
+    t0 = time.time()
+    img = nifti.load(tmpdir / "images" / f"{cid}_0000.nii.gz").get_fdata()
+    load_s = time.time() - t0
+
+    # host preprocess (numpy/scipy, as the reference does)
+    t0 = time.time()
+    lo, hi = np.percentile(img, 0.5), np.percentile(img, 99.5)
+    norm = (np.clip(img, lo, hi) - lo) / max(hi - lo, 1e-8)
+    mask = norm > 0.02
+    struct = ndimage.iterate_structure(ndimage.generate_binary_structure(3, 1), 5)
+    mask = ndimage.binary_closing(mask, structure=struct)
+    labeled, n = ndimage.label(mask)
+    if n:
+        sizes = ndimage.sum(mask, labeled, range(1, n + 1))
+        mask = labeled == (np.argmax(sizes) + 1)
+    mask = ndimage.binary_dilation(mask, ndimage.generate_binary_structure(3, 1), iterations=3)
+    preprocess_s = time.time() - t0
+
+    positions = compute_positions(norm.shape, PATCH, 0.5)
+    with torch.no_grad():
+        # warmup
+        model(torch.zeros(1, 1, *PATCH))
+        t0 = time.time()
+        for z, y, x in positions[:sample_patches]:
+            patch = norm[z : z + 48, y : y + 48, x : x + 48]
+            if patch.shape != PATCH:
+                patch = np.pad(patch, [(0, 48 - s) for s in patch.shape])
+            t = torch.from_numpy(np.ascontiguousarray(patch)).float()[None, None]
+            model(t).squeeze().numpy()
+        per_patch = (time.time() - t0) / sample_patches
+    total = load_s + preprocess_s + per_patch * len(positions)
+    return {
+        "volumes_per_sec": 1.0 / total,
+        "seconds_per_volume": total,
+        "n_patches": int(len(positions)),
+        "per_patch_seconds": per_patch,
+    }
+
+
+def main():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tmpdir = Path(td)
+        ids = _make_volumes(tmpdir, N_VOLUMES)
+        tpu = bench_tpu(tmpdir, ids)
+        baseline = bench_torch_cpu_baseline(tmpdir, ids[0])
+
+    result = {
+        "metric": "volumes_per_sec_e2e_preprocess_plus_sliding_window_144x144x272",
+        "value": round(tpu["volumes_per_sec"], 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(tpu["volumes_per_sec"] / baseline["volumes_per_sec"], 2),
+        "detail": {
+            "tpu": {k: round(v, 4) if isinstance(v, float) else v for k, v in tpu.items()},
+            "torch_cpu_serial_baseline": {
+                k: round(v, 4) if isinstance(v, float) else v for k, v in baseline.items()
+            },
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Inference engine: checkpoint load, batched sliding-window, bbox extraction.
+
+Behavior parity with the reference Inferencer (``light_unet/core/
+inferencer.py``):
+
+* loads the best-model checkpoint and disables dropout (``:36-50``);
+* per case: NIfTI load + header spacing (``:123-128``), optional body-mask
+  multiply (``:136-162``), sliding-window probability map saved as
+  ``{case_id}_prob.nii.gz`` with the original affine/header (``:164-165``);
+* candidate extraction (``:62-111``): threshold (default 0.3) -> connected
+  components filtered at ``min_volume_cc`` (0.5 cc -> voxel count via
+  spacing) -> per-component voxel+mm bboxes expanded by
+  ``bbox_expansion_voxels`` and clamped -> volume_cc + confidence=max prob
+  -> ``{case_id}_bboxes.json``;
+* per-case failures are collected, not fatal (``:148-159, 196-200``).
+
+TPU-native: the sliding window runs as one jitted device program per volume
+(patches batched, Gaussian blending on device) instead of the reference's
+serial per-patch forwards.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from light_unet_tpu.config import Config
+from light_unet_tpu.core.checkpoint import load_checkpoint
+from light_unet_tpu.datasets.index import find_case_files, read_split_file
+from light_unet_tpu.models.metrics import get_connected_components
+from light_unet_tpu.models.unet3d import build_model, init_params
+from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
+from light_unet_tpu.utils import nifti
+
+import jax
+
+
+def extract_bboxes(
+    prob_map: np.ndarray,
+    threshold: float = 0.3,
+    min_volume_cc: float = 0.5,
+    spacing: Sequence[float] = (4.0, 4.0, 4.0),
+    expansion_voxels: int = 3,
+) -> List[Dict]:
+    """Lesion-candidate bounding boxes from a probability map."""
+    binary = (prob_map >= threshold).astype(np.int32)
+    voxel_volume_cc = (spacing[0] * spacing[1] * spacing[2]) / 1000.0
+    min_voxels = int(np.ceil(min_volume_cc / voxel_volume_cc))
+    labeled, n = get_connected_components(binary, min_size=min_voxels)
+
+    bboxes: List[Dict] = []
+    for cid in range(1, n + 1):
+        component = labeled == cid
+        coords = np.argwhere(component)
+        if len(coords) == 0:
+            continue
+        mins = coords.min(axis=0)
+        maxs = coords.max(axis=0)
+        lo = np.maximum(0, mins - expansion_voxels)
+        hi = np.minimum(np.array(prob_map.shape) - 1, maxs + expansion_voxels)
+        bboxes.append(
+            {
+                "mask_id": int(cid),
+                "bbox_voxel": [int(lo[0]), int(hi[0]), int(lo[1]), int(hi[1]), int(lo[2]), int(hi[2])],
+                "bbox_mm": [
+                    float(lo[0] * spacing[0]),
+                    float(hi[0] * spacing[0]),
+                    float(lo[1] * spacing[1]),
+                    float(hi[1] * spacing[1]),
+                    float(lo[2] * spacing[2]),
+                    float(hi[2] * spacing[2]),
+                ],
+                "volume_cc": float(component.sum() * voxel_volume_cc),
+                "confidence": float(prob_map[component].max()),
+            }
+        )
+    return bboxes
+
+
+class Inferencer:
+    """Generate probability maps + candidate bboxes for cases of a split."""
+
+    def __init__(self, config_or_path, model_path, workdir: Optional[str] = None):
+        if isinstance(config_or_path, Config):
+            self.config = config_or_path
+        elif isinstance(config_or_path, dict):
+            self.config = Config.from_dict(config_or_path)
+        else:
+            self.config = Config.load(config_or_path)
+        cfg = self.config
+        self.workdir = Path(workdir) if workdir else Path(".")
+
+        import jax.numpy as jnp
+
+        compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.tpu.compute_dtype]
+        precision = "highest" if cfg.tpu.compute_dtype == "float32" else None
+        self.model = build_model(cfg.model, compute_dtype, inference=True, precision=precision)
+        template = init_params(self.model, jax.random.PRNGKey(0), tuple(cfg.data.patch_size))
+        arrays, meta = load_checkpoint(model_path, {"params": template})
+        self.params = jax.device_put(arrays["params"])
+        print(f"Loaded model from {model_path}")
+        print(f"Best epoch: {meta.get('best_epoch', 'N/A')}")
+        if isinstance(meta.get("best_metric"), (int, float)):
+            print(f"Best metric: {meta['best_metric']:.4f}")
+
+        self.sw = SlidingWindowInferencer(
+            lambda p, x: self.model.apply(p, x, train=False),
+            patch_size=tuple(cfg.data.patch_size),
+            overlap=0.5,
+            use_gaussian=True,
+            patch_batch=cfg.tpu.patch_batch,
+            z_bucket=cfg.tpu.z_bucket,
+        )
+
+        self.prob_maps_dir = Path(self._resolve(cfg.output.prob_maps_dir))
+        self.bboxes_dir = Path(self._resolve(cfg.output.bboxes_dir))
+        self.prob_maps_dir.mkdir(parents=True, exist_ok=True)
+        self.bboxes_dir.mkdir(parents=True, exist_ok=True)
+
+    def _resolve(self, p) -> str:
+        p = Path(p)
+        return str(p if p.is_absolute() else self.workdir / p)
+
+    # ------------------------------------------------------------------
+    def infer_case(self, case_id: str, data_dir, threshold: float = 0.3) -> bool:
+        cfg = self.config
+        data_dir = Path(data_dir)
+        image_files = find_case_files(data_dir, case_id, "image")
+        if not image_files:
+            print(f"Warning: No image files found for {case_id}")
+            return False
+
+        image_nii = nifti.load(image_files[0])
+        image = image_nii.get_fdata(np.float32)
+        spacing = [float(s) for s in image_nii.header.get_zooms()[:3]]
+
+        bm = cfg.data.body_mask
+        apply_body_mask = bm.apply_to_inference and bm.enabled
+        body_mask = None
+        if apply_body_mask:
+            mask_path = data_dir / "body_masks" / f"{case_id}.nii.gz"
+            if mask_path.exists():
+                body_mask = nifti.load(mask_path).get_fdata(np.float32) > 0.5
+            else:
+                print(f"Warning: Body mask not found for {case_id}")
+
+        try:
+            prob_map = self.sw(self.params, image)
+        except Exception as e:  # noqa: BLE001 - per-case isolation like the reference
+            print(f"Error during inference execution for {case_id}: {e}")
+            return False
+
+        if apply_body_mask and body_mask is not None:
+            prob_map = prob_map * body_mask
+
+        prob_path = self.prob_maps_dir / f"{case_id}_prob.nii.gz"
+        nifti.save(
+            nifti.Nifti1Image(prob_map.astype(np.float32), image_nii.affine, image_nii.header),
+            prob_path,
+        )
+
+        bboxes = extract_bboxes(
+            prob_map,
+            threshold=threshold,
+            min_volume_cc=cfg.data.volume_threshold.inference_cc,
+            spacing=spacing,
+            expansion_voxels=cfg.data.bbox_expansion_voxels,
+        )
+        bbox_json = {
+            "case_id": case_id,
+            "processing_path": "B",
+            "orig_spacing": spacing,
+            "threshold": threshold,
+            "num_candidates": len(bboxes),
+            "candidates": bboxes,
+        }
+        with open(self.bboxes_dir / f"{case_id}_bboxes.json", "w") as f:
+            json.dump(bbox_json, f, indent=2)
+        return True
+
+    def infer_split(self, split_file, data_dir) -> Dict:
+        case_ids = read_split_file(split_file)
+        threshold = self.config.validation.default_threshold
+        print(f"Performing inference on {len(case_ids)} cases...")
+        t0 = time.time()
+        successful, failed = 0, []
+        for case_id in case_ids:
+            if self.infer_case(case_id, data_dir, threshold=threshold):
+                successful += 1
+            else:
+                failed.append(case_id)
+        dt = time.time() - t0
+        print(
+            f"\nInference complete: {successful}/{len(case_ids)} cases in {dt:.1f}s "
+            f"({successful / dt:.2f} volumes/sec)" if dt > 0 else ""
+        )
+        return {"successful": successful, "failed": failed, "seconds": dt}

@@ -1,0 +1,485 @@
+"""Training engine: jit-compiled data-parallel steps, full-volume validation.
+
+Behavior parity with the reference Trainer (``light_unet/core/trainer.py``):
+
+* three training modes resolved from the loader factory dict (``:112-138``):
+  standard, probabilistic mixture, step-based FL-epoch + DLBCL-steps
+  (``:260-347`` — DLBCL steps = round(fl_batches * dlbcl_steps_ratio),
+  loader cycling on exhaustion);
+* per-epoch sliding-window validation with a threshold sweep over
+  ``threshold_sensitivity_range`` (``:423-439``);
+* model selection: max lesion recall with DSC tie-break inside
+  ``tie_threshold`` (``:183-189, 516-517``), early stopping patience 20;
+* checkpoints every ``save_every_n_epochs`` with keep-last-N rotation, best
+  model at ``output.best_model_path`` (``:447-477``);
+* TensorBoard scalars with the reference's exact tag names
+  (``docs/MIXED_TRAINING_GUIDE.md:166-181``).
+
+TPU-native design:
+
+* one jitted train step — on-device augmentation, forward, Focal-Tversky
+  loss, grad, AdamW update — with donated state (zero realloc per step);
+* data parallelism via a 1-D ``jax.sharding`` mesh: batches sharded on the
+  leading axis, params replicated, XLA inserts the gradient psum over ICI;
+* validation reuses the batched sliding-window engine (``ops/sliding_window``)
+  instead of the reference's per-patch host loop;
+* real checkpoint resume (the reference saves but never loads — SURVEY §5)
+  and ``logs/training_history.json`` is actually written (``main.py:172``
+  advertises it; the reference never writes it).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from light_unet_tpu.config import Config
+from light_unet_tpu.core.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    rotate_checkpoints,
+    save_checkpoint,
+)
+from light_unet_tpu.core.schedule import LRScheduler
+from light_unet_tpu.datasets.loader import get_data_loader
+from light_unet_tpu.datasets.volume_cache import VolumeCache
+from light_unet_tpu.models.losses import get_loss_function
+from light_unet_tpu.models.metrics import DEFAULT_SPACING, calculate_metrics
+from light_unet_tpu.models.unet3d import build_model, count_parameters, init_params
+from light_unet_tpu.ops.augment import make_augment_fn
+from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
+from light_unet_tpu.parallel.mesh import mesh_from_config, replicate, shard_batch
+
+EPS = 1e-8
+
+
+def _dtype_from_name(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def is_better_metric(recall, dsc, best_recall, best_dsc, tie_threshold) -> Tuple[bool, bool]:
+    """(is_better, recall_improved) — recall-first with DSC tie-break
+    (reference ``_is_better_metric``, trainer.py:183-189)."""
+    tie_margin = tie_threshold + EPS
+    if recall > best_recall + EPS:
+        return True, True
+    if abs(recall - best_recall) <= tie_margin and dsc > best_dsc + EPS:
+        return True, False
+    return False, False
+
+
+class Trainer:
+    """Train the 3D U-Net per a validated ``Config``."""
+
+    def __init__(self, config_or_path, workdir: Optional[str] = None):
+        if isinstance(config_or_path, Config):
+            self.config = config_or_path
+        elif isinstance(config_or_path, dict):
+            self.config = Config.from_dict(config_or_path)
+        else:
+            self.config = Config.load(config_or_path)
+        cfg = self.config
+        self.workdir = Path(workdir) if workdir else Path(".")
+
+        seed = cfg.experiment.seed
+        self.rng = jax.random.PRNGKey(seed)
+
+        # --- model / loss / optimizer -----------------------------------
+        compute_dtype = _dtype_from_name(cfg.tpu.compute_dtype)
+        precision = "highest" if cfg.tpu.compute_dtype == "float32" else None
+        self.model = build_model(cfg.model, compute_dtype, precision=precision)
+        self.eval_model = self.model  # dropout disabled via train=False
+        self.rng, init_key = jax.random.split(self.rng)
+        self.params = init_params(self.model, init_key, tuple(cfg.data.patch_size))
+        counts = count_parameters(self.params)
+        print(f"Model parameters: {counts['total']:,} total, {counts['trainable']:,} trainable")
+
+        self.loss_fn = get_loss_function(cfg.loss)
+        self.base_lr = cfg.training.learning_rate
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=self.base_lr, weight_decay=cfg.training.weight_decay
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.scheduler = LRScheduler(
+            cfg.training.scheduler,
+            self.base_lr,
+            use_warmup=cfg.training.use_warmup,
+            warmup_epochs=cfg.training.warmup_epochs,
+        )
+
+        # --- mesh / sharding ---------------------------------------------
+        self.mesh = mesh_from_config(cfg.tpu, batch_size=cfg.training.batch_size)
+        self.params = replicate(self.params, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+
+        # --- data ----------------------------------------------------------
+        data_dir = self._resolve(cfg.data_dir)
+        splits_dir = self._resolve(cfg.splits_dir)
+        self.cache = VolumeCache() if cfg.tpu.cache_volumes else VolumeCache(max_items=8)
+        train_result = get_data_loader(
+            data_dir, Path(splits_dir) / "train_list.txt", cfg, is_train=True, cache=self.cache
+        )
+        mode = train_result["mode"]
+        self.mode = mode
+        if mode == "fl_epoch_plus_dlbcl":
+            self.fl_loader = train_result["fl_loader"]
+            self.dlbcl_loader = train_result["dlbcl_loader"]
+            self.train_loader = None
+            self.train_dataset = None
+        elif mode == "probabilistic":
+            self.train_loader = train_result["train_loader"]
+            self.train_dataset = train_result["train_dataset"]
+            self.fl_loader = self.dlbcl_loader = None
+        elif mode == "standard":
+            self.train_loader = train_result["train_loader"]
+            self.train_dataset = None
+            self.fl_loader = self.dlbcl_loader = None
+        else:  # pragma: no cover - factory enforces modes
+            raise ValueError(f"Unknown training mode: {mode}")
+
+        val_result = get_data_loader(
+            data_dir, Path(splits_dir) / "val_list.txt", cfg, is_train=False, cache=self.cache
+        )
+        self.val_dataset = val_result["val_loader"]
+
+        # --- augmentation + jitted step ------------------------------------
+        self.augment_fn = make_augment_fn(cfg.augmentation, tuple(cfg.data.patch_size))
+        self._train_step = self._build_train_step()
+
+        # --- validation engine ---------------------------------------------
+        self.sw = SlidingWindowInferencer(
+            lambda p, x: self.eval_model.apply(p, x, train=False),
+            patch_size=tuple(cfg.data.patch_size),
+            overlap=0.5,
+            use_gaussian=True,
+            patch_batch=cfg.tpu.patch_batch,
+            z_bucket=cfg.tpu.z_bucket,
+        )
+
+        # --- logging / checkpoints ------------------------------------------
+        log_dir = self._resolve(cfg.output.log_dir)
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        tb_dir = self._resolve(cfg.output.tensorboard_dir)
+        Path(tb_dir).mkdir(parents=True, exist_ok=True)
+        from tensorboardX import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir=str(tb_dir))
+        self.checkpoint_dir = Path(self._resolve(cfg.output.checkpoint_dir))
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+        # --- training state ---------------------------------------------------
+        self.start_epoch = 0
+        self.best_metric = 0.0
+        self.best_recall = 0.0
+        self.best_dsc = 0.0
+        self.best_epoch = 0
+        self.epochs_without_improvement = 0
+        self.history: Dict[str, list] = {
+            "train_loss": [],
+            "val_loss": [],
+            "val_recall": [],
+            "val_precision": [],
+            "val_dsc": [],
+            "val_fp_per_case": [],
+            "val_best_threshold": [],
+            "learning_rate": [],
+        }
+        self._global_step = 0
+
+    # ------------------------------------------------------------------
+    def _resolve(self, p) -> str:
+        p = Path(p)
+        return str(p if p.is_absolute() else self.workdir / p)
+
+    def _build_train_step(self):
+        loss_fn = self.loss_fn
+        model = self.model
+        augment = self.augment_fn
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, images, labels, rng):
+            aug_key, dropout_key = jax.random.split(rng)
+            images, labels = augment(aug_key, images, labels)
+
+            def compute_loss(p):
+                probs = model.apply(p, images, train=True, rngs={"dropout": dropout_key})
+                return loss_fn(probs, labels)
+
+            loss, grads = jax.value_and_grad(compute_loss)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    def _set_lr(self, lr: float) -> None:
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def _step_on_batch(self, images: np.ndarray, labels: np.ndarray) -> float:
+        self.rng, step_key = jax.random.split(self.rng)
+        batch = shard_batch((images, labels), self.mesh, self.config.tpu.data_axis)
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, batch[0], batch[1], step_key
+        )
+        return float(loss)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> float:
+        if self.mode == "fl_epoch_plus_dlbcl":
+            return self._train_epoch_step_based(epoch)
+
+        if self.mode == "probabilistic" and self.train_dataset is not None:
+            self.train_dataset.reset_sample_counts()
+
+        total_loss, num_batches = 0.0, 0
+        for images, labels in self.train_loader:
+            loss = self._step_on_batch(images, labels)
+            total_loss += loss
+            num_batches += 1
+            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+            self._global_step += 1
+        avg_loss = total_loss / max(num_batches, 1)
+
+        if self.mode == "probabilistic" and self.train_dataset is not None:
+            counts = self.train_dataset.get_sample_counts()
+            total = counts["total_samples"]
+            if total > 0:
+                self.writer.add_scalar("Domain/fl_samples", counts["fl_samples"], epoch)
+                self.writer.add_scalar("Domain/dlbcl_samples", counts["dlbcl_samples"], epoch)
+                self.writer.add_scalar("Domain/fl_ratio", counts["fl_samples"] / total, epoch)
+                self.writer.add_scalar("Domain/dlbcl_ratio", counts["dlbcl_samples"] / total, epoch)
+        return avg_loss
+
+    def _train_epoch_step_based(self, epoch: int) -> float:
+        mixed = self.config.training.mixed_domains
+        fl_batches = len(self.fl_loader)
+        dlbcl_steps = (
+            mixed.dlbcl_steps
+            if mixed.dlbcl_steps is not None
+            else round(fl_batches * mixed.dlbcl_steps_ratio)
+        )
+
+        fl_total, fl_steps = 0.0, 0
+        for images, labels in self.fl_loader:
+            loss = self._step_on_batch(images, labels)
+            fl_total += loss
+            fl_steps += 1
+            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+            self.writer.add_scalar("Loss/fl_step", loss, self._global_step)
+            self._global_step += 1
+
+        dlbcl_total, dlbcl_done = 0.0, 0
+        if dlbcl_steps > 0:
+            it = iter(self.dlbcl_loader)
+            for _ in range(dlbcl_steps):
+                try:
+                    images, labels = next(it)
+                except StopIteration:
+                    it = iter(self.dlbcl_loader)
+                    images, labels = next(it)
+                loss = self._step_on_batch(images, labels)
+                dlbcl_total += loss
+                dlbcl_done += 1
+                self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+                self.writer.add_scalar("Loss/dlbcl_step", loss, self._global_step)
+                self._global_step += 1
+
+        total_steps = fl_steps + dlbcl_done
+        fl_avg = fl_total / fl_steps if fl_steps else 0.0
+        dlbcl_avg = dlbcl_total / dlbcl_done if dlbcl_done else 0.0
+        combined = (fl_total + dlbcl_total) / total_steps if total_steps else 0.0
+
+        self.writer.add_scalar("Domain/fl_steps", fl_steps, epoch)
+        self.writer.add_scalar("Domain/dlbcl_steps", dlbcl_done, epoch)
+        self.writer.add_scalar("Domain/fl_ratio", fl_steps / total_steps if total_steps else 0.0, epoch)
+        self.writer.add_scalar(
+            "Domain/dlbcl_ratio", dlbcl_done / total_steps if total_steps else 0.0, epoch
+        )
+        self.writer.add_scalar("Loss/fl_avg", fl_avg, epoch)
+        self.writer.add_scalar("Loss/dlbcl_avg", dlbcl_avg, epoch)
+        self.writer.add_scalar("Loss/combined", combined, epoch)
+        return combined
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int) -> Tuple[float, Dict]:
+        cfg = self.config
+        bm = cfg.data.body_mask
+        apply_body_mask = bm.apply_to_validation and bm.enabled
+        target_spacing = tuple(cfg.data.spacing.target or DEFAULT_SPACING)
+        default_threshold = cfg.validation.default_threshold
+
+        predictions, labels, spacings = [], [], []
+        for sample in self.val_dataset:
+            prob_map = self.sw(self.params, sample.image)
+            if apply_body_mask and sample.body_mask is not None:
+                prob_map = prob_map * sample.body_mask
+            predictions.append(prob_map)
+            labels.append(sample.label)
+            spacings.append(sample.spacing or target_spacing)
+
+        if not predictions:
+            return 0.0, {
+                "lesion_wise_recall": 0.0,
+                "lesion_wise_precision": 0.0,
+                "voxel_wise_dsc_macro": 0.0,
+                "voxel_wise_dsc_micro": 0.0,
+                "fp_per_case": 0.0,
+                "best_threshold": default_threshold,
+                "best_recall": 0.0,
+                "best_dsc_macro": 0.0,
+            }
+
+        thresholds = cfg.validation.threshold_sensitivity_range or [default_threshold]
+        tie_threshold = cfg.metrics.model_selection.tie_threshold
+
+        best_threshold = thresholds[0]
+        best = calculate_metrics(predictions, labels, threshold=best_threshold, spacing=spacings)
+        best_recall = best["lesion_wise_recall"]
+        best_dsc = best["voxel_wise_dsc_macro"]
+        for threshold in thresholds[1:]:
+            m = calculate_metrics(predictions, labels, threshold=threshold, spacing=spacings)
+            better, _ = is_better_metric(
+                m["lesion_wise_recall"], m["voxel_wise_dsc_macro"], best_recall, best_dsc, tie_threshold
+            )
+            if better:
+                best_recall = m["lesion_wise_recall"]
+                best_dsc = m["voxel_wise_dsc_macro"]
+                best_threshold = threshold
+                best = m
+        best["best_threshold"] = best_threshold
+        best["best_recall"] = best_recall
+        best["best_dsc_macro"] = best_dsc
+        # val_loss: the reference hardcodes 0.0 (trainer.py:445); we keep the
+        # slot for history parity but do not fabricate a value
+        return 0.0, best
+
+    # ------------------------------------------------------------------
+    def save_checkpoint_file(self, epoch: int, is_best: bool = False) -> None:
+        cfg = self.config
+        arrays = {"params": self.params, "opt_state": self.opt_state}
+        meta = {
+            "epoch": epoch,
+            "best_metric": self.best_metric,
+            "best_recall": self.best_recall,
+            "best_dsc": self.best_dsc,
+            "best_epoch": self.best_epoch,
+            "epochs_without_improvement": self.epochs_without_improvement,
+            "scheduler_state": self.scheduler.state_dict(),
+            "config": cfg.to_dict(),
+            "history": self.history,
+            "global_step": self._global_step,
+        }
+        if cfg.output.save_checkpoints and (epoch + 1) % cfg.output.save_every_n_epochs == 0:
+            path = self.checkpoint_dir / f"checkpoint_epoch_{epoch + 1:03d}.ckpt"
+            save_checkpoint(path, arrays, meta)
+            rotate_checkpoints(self.checkpoint_dir, cfg.output.keep_last_n_checkpoints)
+        if is_best:
+            best_path = Path(self._resolve(cfg.output.best_model_path))
+            save_checkpoint(best_path, arrays, meta)
+
+    def resume(self, path=None) -> bool:
+        """Restore params/optimizer/scheduler/counters; returns True on success."""
+        if path is None:
+            path = latest_checkpoint(self.checkpoint_dir)
+            if path is None:
+                return False
+        template = {"params": self.params, "opt_state": self.opt_state}
+        arrays, meta = load_checkpoint(path, template)
+        self.params = replicate(arrays["params"], self.mesh)
+        self.opt_state = replicate(arrays["opt_state"], self.mesh)
+        self.start_epoch = int(meta["epoch"]) + 1
+        self.best_metric = meta.get("best_metric", 0.0)
+        self.best_recall = meta.get("best_recall", 0.0)
+        self.best_dsc = meta.get("best_dsc", 0.0)
+        self.best_epoch = meta.get("best_epoch", 0)
+        self.epochs_without_improvement = meta.get("epochs_without_improvement", 0)
+        self.scheduler.load_state_dict(meta.get("scheduler_state", {}))
+        self.history = meta.get("history", self.history)
+        self._global_step = meta.get("global_step", 0)
+        print(f"Resumed from {path} at epoch {self.start_epoch}")
+        return True
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict:
+        cfg = self.config
+        epochs = cfg.training.epochs
+        early = cfg.training.early_stopping
+        validate_every = cfg.validation.validate_every_n_epochs
+
+        print(f"\nStarting training for {epochs} epochs...")
+        self._set_lr(self.scheduler.current_lr())
+
+        for epoch in range(self.start_epoch, epochs):
+            t0 = time.time()
+            train_loss = self.train_epoch(epoch)
+
+            if (epoch + 1) % validate_every == 0:
+                val_loss, val_metrics = self.validate(epoch)
+                current_lr = self.scheduler.current_lr()
+                current_recall = val_metrics.get("best_recall", 0.0)
+                current_dsc = val_metrics.get("best_dsc_macro", 0.0)
+
+                self.history["train_loss"].append(train_loss)
+                self.history["val_loss"].append(val_loss)
+                self.history["val_recall"].append(current_recall)
+                self.history["val_precision"].append(val_metrics.get("lesion_wise_precision", 0.0))
+                self.history["val_dsc"].append(current_dsc)
+                self.history["val_fp_per_case"].append(val_metrics.get("fp_per_case", 0.0))
+                self.history["val_best_threshold"].append(val_metrics.get("best_threshold", 0.0))
+                self.history["learning_rate"].append(current_lr)
+
+                self.writer.add_scalar("Loss/train", train_loss, epoch)
+                self.writer.add_scalar("Metrics/lesion_wise_recall", current_recall, epoch)
+                self.writer.add_scalar("Metrics/voxel_wise_dsc_macro", current_dsc, epoch)
+                self.writer.add_scalar("Learning_Rate", current_lr, epoch)
+
+                print(
+                    f"\nEpoch {epoch + 1}/{epochs}  loss {train_loss:.4f}  "
+                    f"recall {current_recall:.4f}  dsc {current_dsc:.4f}  "
+                    f"({time.time() - t0:.1f}s)"
+                )
+
+                tie_threshold = cfg.metrics.model_selection.tie_threshold
+                better, _ = is_better_metric(
+                    current_recall, current_dsc, self.best_recall, self.best_dsc, tie_threshold
+                )
+                is_best = False
+                if better:
+                    self.best_recall = current_recall
+                    self.best_dsc = current_dsc
+                    self.best_metric = current_recall
+                    self.best_epoch = epoch
+                    self.epochs_without_improvement = 0
+                    is_best = True
+                    print("  *** New best model! ***")
+                else:
+                    self.epochs_without_improvement += 1
+
+                self.save_checkpoint_file(epoch, is_best=is_best)
+                self._set_lr(self.scheduler.step(current_recall if self.scheduler.is_plateau else None))
+
+                if early.enabled and self.epochs_without_improvement >= early.patience:
+                    print("\nEarly stopping triggered.")
+                    break
+            else:
+                if not self.scheduler.is_plateau:
+                    self._set_lr(self.scheduler.step(None))
+
+        self.writer.close()
+        history_path = Path(self._resolve(cfg.output.log_dir)) / "training_history.json"
+        with open(history_path, "w") as f:
+            json.dump(self.history, f, indent=2)
+        return {
+            "best_recall": self.best_recall,
+            "best_dsc": self.best_dsc,
+            "best_epoch": self.best_epoch,
+            "history": self.history,
+        }

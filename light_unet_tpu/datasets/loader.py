@@ -1,0 +1,158 @@
+"""Data-loader factory + host-side prefetching pipeline.
+
+API parity with the reference factory (``light_unet/datasets/loader.py``):
+``get_data_loader(data_dir, split_file, config, is_train)`` returns a
+mode-tagged dict —
+
+* ``standard``            one FL-default PatchSampler loader
+* ``probabilistic``       MixedPatchSampler loader (+ dataset handle)
+* ``fl_epoch_plus_dlbcl`` separate FL and DLBCL loaders
+* ``validation``          CaseDataset (FL-only when mixed training enabled,
+                          ``loader.py:83-86``)
+
+TPU-first: instead of 16 forked worker processes feeding a torch DataLoader
+(``loader.py:10``), a single background thread assembles full numpy batches
+from the RAM volume cache ahead of time (queue depth ``prefetch_depth``).
+Patch slicing from cached volumes is ~100x cheaper than the reference's
+per-item NIfTI reload, so one thread keeps a TPU fed; augmentation runs
+on-device inside the train step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from light_unet_tpu.datasets.case_dataset import CaseDataset
+from light_unet_tpu.datasets.patch_sampler import MixedPatchSampler, PatchSampler
+from light_unet_tpu.datasets.volume_cache import VolumeCache
+
+
+class PrefetchLoader:
+    """Iterable over ``steps_per_epoch`` prefetched (image, label) batches.
+
+    Batches are [B, pz, py, px, 1] float32 numpy arrays; epoch length is
+    ``len(sampler) // batch_size`` full batches (the reference's torch
+    DataLoader yields one final partial batch; we keep shapes static for XLA
+    — one partial batch of random redraws is statistically identical).
+    """
+
+    def __init__(self, sampler, batch_size: int, prefetch_depth: int = 3):
+        self.sampler = sampler
+        self.batch_size = int(batch_size)
+        self.prefetch_depth = int(prefetch_depth)
+
+    def __len__(self) -> int:
+        return max(1, len(self.sampler) // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        steps = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for _ in range(steps):
+                    if stop.is_set():
+                        return
+                    q.put(self.sampler.sample_batch(self.batch_size))
+            except Exception as e:  # surface producer errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            for _ in range(steps):
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def _common_params(config, is_train: bool) -> dict:
+    return {
+        "patch_size": tuple(config.data.patch_size),
+        "seed": config.experiment.seed,
+        "body_mask_config": config.data.body_mask,
+    }
+
+
+def _domains_dict(config) -> dict:
+    d = config.data.domains
+    return {
+        "fl_prefix_max": d.fl_prefix_max,
+        "dlbcl_prefix_min": d.dlbcl_prefix_min,
+        "dlbcl_prefix_max": d.dlbcl_prefix_max,
+    }
+
+
+def get_data_loader(data_dir, split_file, config, is_train: bool = True,
+                    cache: Optional[VolumeCache] = None) -> Dict:
+    """Main factory entry point (parity with ``loader.py:99-114``)."""
+    if not is_train:
+        mixed = config.training.mixed_domains
+        bm = config.data.body_mask
+        apply_val = bm.apply_to_validation and bm.enabled
+        domain_config = None
+        if mixed.enabled:
+            domain_config = {"domain": "fl", **_domains_dict(config)}
+        dataset = CaseDataset(
+            data_dir,
+            split_file,
+            domain_config,
+            return_body_mask=apply_val,
+            body_mask_required=apply_val,
+            cache=cache,
+        )
+        return {"mode": "validation", "val_loader": dataset}
+
+    params = _common_params(config, is_train)
+    batch_size = config.training.batch_size
+    lesion_ratio = config.training.class_balanced_sampling.lesion_patch_ratio
+    prefetch = config.tpu.prefetch_depth
+    mixed = config.training.mixed_domains
+
+    if mixed.enabled and mixed.mode == "fl_epoch_plus_dlbcl":
+        fl = PatchSampler(
+            data_dir, split_file, params["patch_size"], lesion_ratio,
+            params["seed"], {"domain": "fl", **_domains_dict(config)},
+            params["body_mask_config"], cache,
+        )
+        dlbcl = PatchSampler(
+            data_dir, split_file, params["patch_size"], lesion_ratio,
+            params["seed"] + 1, {"domain": "dlbcl", **_domains_dict(config)},
+            params["body_mask_config"], cache,
+        )
+        return {
+            "mode": "fl_epoch_plus_dlbcl",
+            "fl_loader": PrefetchLoader(fl, batch_size, prefetch),
+            "dlbcl_loader": PrefetchLoader(dlbcl, batch_size, prefetch),
+            "fl_dataset": fl,
+            "dlbcl_dataset": dlbcl,
+        }
+    if mixed.enabled:
+        dataset = MixedPatchSampler(
+            data_dir, split_file, params["patch_size"], lesion_ratio,
+            params["seed"], _domains_dict(config), mixed.fl_ratio,
+            params["body_mask_config"], cache,
+        )
+        return {
+            "mode": "probabilistic",
+            "train_loader": PrefetchLoader(dataset, batch_size, prefetch),
+            "train_dataset": dataset,
+        }
+    sampler = PatchSampler(
+        data_dir, split_file, params["patch_size"], lesion_ratio,
+        params["seed"], None, params["body_mask_config"], cache,
+    )
+    return {"mode": "standard", "train_loader": PrefetchLoader(sampler, batch_size, prefetch)}

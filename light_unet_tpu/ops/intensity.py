@@ -1,13 +1,19 @@
-"""Intensity preprocessing (percentile clip + min-max normalize), on device.
+"""Intensity preprocessing (percentile clip + min-max normalize).
 
-Parity with the reference's host-numpy ``clip_and_normalize``
+Parity with the reference's ``clip_and_normalize``
 (``scripts/preprocess_data.py:21-59``): clip to the [low, high] percentiles
-(linear interpolation, numpy default) then rescale to ``target_range``.
+(numpy linear interpolation) then rescale to ``target_range``.
 
-TPU-first: percentiles are computed with a masked sort so volumes padded to a
-compile bucket reuse one XLA program regardless of their true Z extent — the
-padding is excluded from the statistics, so results equal the unpadded
-computation bit-for-bit in float32.
+Placement rationale (measured on TPU v5e): percentile selection over a ~6M
+voxel volume is a partition problem the host does in ~0.15 s with exact
+numpy semantics, while an on-device masked sort costs a 1.7 s run and a
+multi-minute XLA compile.  So percentiles run on host, and only the
+bandwidth-bound elementwise clip+rescale runs on device — in a single
+bucket-shaped XLA program shared across volumes of any Z extent (the
+``valid`` mask zeroes the padding, so bucketing never changes results).
+
+``masked_percentile`` (device-side, exact, padding-aware) is kept for
+callers that already hold device-resident data.
 """
 
 from __future__ import annotations
@@ -31,26 +37,39 @@ def masked_percentile(flat: jnp.ndarray, n_valid, q: float) -> jnp.ndarray:
     return s[lo] * (1.0 - frac) + s[hi] * frac
 
 
-@partial(jax.jit, static_argnames=("low_pct", "high_pct", "range_min", "range_max"))
-def _clip_normalize_jit(
-    volume,  # [Dp,Hp,Wp] f32, padded region arbitrary
-    n_valid,  # scalar i32: number of true voxels
-    valid,  # [Dp,Hp,Wp] f32 1/0 validity mask
-    *,
-    low_pct: float,
-    high_pct: float,
-    range_min: float,
-    range_max: float,
-):
-    flat = jnp.where(valid.reshape(-1) > 0, volume.reshape(-1), jnp.inf)
-    lo = masked_percentile(flat, n_valid, low_pct)
-    hi = masked_percentile(flat, n_valid, high_pct)
+@partial(jax.jit, static_argnames=("range_min", "range_max"))
+def clip_normalize_device(volume, valid, lo, hi, *, range_min: float, range_max: float):
+    """Elementwise clip to [lo, hi] + rescale to [range_min, range_max];
+    padding (valid==0) is forced to zero."""
     clipped = jnp.clip(volume, lo, hi)
     scale = (range_max - range_min) / jnp.where(hi > lo, hi - lo, 1.0)
     normalized = jnp.where(
         hi > lo, (clipped - lo) * scale + range_min, jnp.full_like(volume, range_min)
     )
-    return normalized * valid, lo, hi
+    return normalized * valid
+
+
+def pad_to_bucket(volume: np.ndarray, z_bucket: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(padded, valid) float32 pair with Z rounded up to the bucket."""
+    shape = volume.shape
+    pshape = list(shape)
+    if z_bucket > 1 and volume.ndim == 3:
+        pshape[2] = ((shape[2] + z_bucket - 1) // z_bucket) * z_bucket
+    padded = np.zeros(pshape, dtype=np.float32)
+    padded[tuple(slice(0, s) for s in shape)] = volume
+    valid = np.zeros(pshape, dtype=np.float32)
+    valid[tuple(slice(0, s) for s in shape)] = 1.0
+    return padded, valid
+
+
+def compute_clip_values(
+    image: np.ndarray, low_percentile: float = 0.5, high_percentile: float = 99.5
+) -> Tuple[float, float]:
+    """Host-side exact percentiles (numpy linear interpolation — identical to
+    the reference's ``np.percentile`` calls)."""
+    lo = float(np.percentile(image, low_percentile))
+    hi = float(np.percentile(image, high_percentile))
+    return lo, hi
 
 
 def clip_and_normalize(
@@ -60,32 +79,24 @@ def clip_and_normalize(
     target_range: Tuple[float, float] = (0.0, 1.0),
     z_bucket: int = 1,
 ) -> Tuple[np.ndarray, dict]:
-    """Device-accelerated clip+normalize.  Returns (normalized f32 volume,
-    metadata dict matching ``preprocess_data.py:49-57``)."""
+    """(normalized f32 volume, metadata) — metadata schema matches
+    ``preprocess_data.py:49-57``."""
     image = np.asarray(image, dtype=np.float32)
-    shape = image.shape
-    pshape = list(shape)
-    if z_bucket > 1 and image.ndim == 3:
-        pshape[2] = ((shape[2] + z_bucket - 1) // z_bucket) * z_bucket
-    padded = np.zeros(pshape, dtype=np.float32)
-    padded[tuple(slice(0, s) for s in shape)] = image
-    valid = np.zeros(pshape, dtype=np.float32)
-    valid[tuple(slice(0, s) for s in shape)] = 1.0
-
-    normalized, lo, hi = _clip_normalize_jit(
+    lo, hi = compute_clip_values(image, low_percentile, high_percentile)
+    padded, valid = pad_to_bucket(image, z_bucket)
+    normalized = clip_normalize_device(
         jnp.asarray(padded),
-        jnp.asarray(image.size, jnp.int32),
         jnp.asarray(valid),
-        low_pct=float(low_percentile),
-        high_pct=float(high_percentile),
+        jnp.float32(lo),
+        jnp.float32(hi),
         range_min=float(target_range[0]),
         range_max=float(target_range[1]),
     )
-    out = np.asarray(normalized)[tuple(slice(0, s) for s in shape)]
+    out = np.asarray(normalized)[tuple(slice(0, s) for s in image.shape)]
     metadata = {
         "clip_values": {
-            "min": float(lo),
-            "max": float(hi),
+            "min": lo,
+            "max": hi,
             "low_percentile": low_percentile,
             "high_percentile": high_percentile,
         },

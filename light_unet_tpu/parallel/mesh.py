@@ -1,0 +1,79 @@
+"""Device-mesh and sharding helpers (data parallelism over ICI).
+
+The reference is strictly single-device (``light_unet/core/trainer.py:53``,
+no torch.distributed anywhere — SURVEY §2c).  The TPU-native framework adds
+one distributed axis that preserves behavior: **data parallelism** — batches
+sharded along a 1-D ``data`` mesh axis, parameters replicated, gradient
+reduction inserted by XLA as ICI collectives (the scaling-book recipe:
+annotate shardings, let the compiler place psums).
+
+The sliding-window patch axis uses the same mesh for inference fan-out.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    data_axis: str = "data",
+    devices: Optional[Sequence] = None,
+    mesh_shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """1-D mesh over all (or the given) devices on the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if mesh_shape is not None:
+        devices = devices.reshape(tuple(mesh_shape))
+        axis_names = tuple(f"axis{i}" if i > 0 else data_axis for i in range(devices.ndim))
+        return Mesh(devices, axis_names)
+    return Mesh(devices, (data_axis,))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard leading (batch) axis across the data axis; rest replicated."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Optional[Mesh], data_axis: str = "data"):
+    """device_put a (possibly nested) batch with the leading axis sharded."""
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.device_put(batch)
+    sharding = batch_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Optional[Mesh]):
+    """device_put a pytree fully replicated over the mesh."""
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.device_put(tree)
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def mesh_from_config(tpu_cfg, batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """Build the mesh described by ``TpuConfig`` (None for a single device).
+
+    With ``batch_size`` given, the data axis is capped at the largest device
+    count that divides the global batch (parameters are replicated, so using
+    fewer devices is always safe)."""
+    devices = jax.devices()
+    if tpu_cfg.mesh_shape is not None:
+        return create_mesh(tpu_cfg.data_axis, devices, tpu_cfg.mesh_shape)
+    n = len(devices)
+    if batch_size is not None:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
+    if n == 1:
+        return None
+    return create_mesh(tpu_cfg.data_axis, devices)

@@ -1,0 +1,154 @@
+"""Stage 5: evaluation of probability maps against labels.
+
+Parity with ``scripts/evaluate.py`` (whose own import is broken in the
+reference tree — ``evaluate.py:19`` imports a nonexistent module; fixed
+here): per case x per threshold (sweep = threshold_sensitivity_range plus
+the default), voxel DSC + lesion metrics, aggregation of TP/FP/FN across
+cases per threshold, console table with best-recall / best-F1 thresholds,
+``inference/metrics.csv`` (pandas) and ``detailed_results.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from light_unet_tpu.config import Config
+from light_unet_tpu.datasets.index import find_case_files, read_split_file
+from light_unet_tpu.models.metrics import calculate_dsc, calculate_lesion_metrics
+from light_unet_tpu.utils import nifti
+
+
+def evaluate_case(
+    case_id: str, prob_maps_dir, data_dir, thresholds, spacing=(4.0, 4.0, 4.0)
+) -> Optional[Dict]:
+    prob_path = Path(prob_maps_dir) / f"{case_id}_prob.nii.gz"
+    if not prob_path.exists():
+        return None
+    prob_map = nifti.load(prob_path).get_fdata()
+
+    label_files = find_case_files(Path(data_dir), case_id, "label")
+    if not label_files:
+        return None
+    label = nifti.load(label_files[0]).get_fdata()
+
+    results = {}
+    for threshold in thresholds:
+        pred_binary = (prob_map >= threshold).astype(np.float32)
+        dsc = calculate_dsc(pred_binary, label)
+        lm = calculate_lesion_metrics(
+            prob_map,
+            label,
+            threshold=threshold,
+            min_size_voxels=0,
+            iou_threshold=0.1,
+            distance_threshold_mm=10.0,
+            spacing=spacing,
+        )
+        results[threshold] = {
+            "dsc": dsc,
+            "recall": lm["recall"],
+            "precision": lm["precision"],
+            "f1": lm["f1"],
+            "tp": lm["tp"],
+            "fp": lm["fp"],
+            "fn": lm["fn"],
+        }
+    return results
+
+
+def evaluate_split(split_file, prob_maps_dir, data_dir, config: Config) -> Tuple[Dict, Dict]:
+    case_ids = read_split_file(split_file)
+    thresholds = list(config.validation.threshold_sensitivity_range)
+    default_threshold = config.validation.default_threshold
+    if default_threshold not in thresholds:
+        thresholds = sorted(thresholds + [default_threshold])
+
+    print(f"Evaluating {len(case_ids)} cases at {len(thresholds)} thresholds...")
+    t0 = time.time()
+    spacing = tuple(config.data.spacing.target)
+    all_results = {}
+    for cid in case_ids:
+        res = evaluate_case(cid, prob_maps_dir, data_dir, thresholds, spacing=spacing)
+        if res is not None:
+            all_results[cid] = res
+
+    summary = {}
+    for threshold in thresholds:
+        tp = fp = fn = 0
+        dscs = []
+        for res in all_results.values():
+            if threshold in res:
+                tp += res[threshold]["tp"]
+                fp += res[threshold]["fp"]
+                fn += res[threshold]["fn"]
+                dscs.append(res[threshold]["dsc"])
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        summary[threshold] = {
+            "recall": recall,
+            "precision": precision,
+            "f1": f1,
+            "dsc": float(np.mean(dscs)) if dscs else 0.0,
+            "fp_per_case": fp / len(all_results) if all_results else 0.0,
+            "tp": tp,
+            "fp": fp,
+            "fn": fn,
+            "num_cases": len(all_results),
+        }
+    print(f"Evaluation took {time.time() - t0:.1f}s")
+    return summary, all_results
+
+
+def print_summary(summary: Dict, default_threshold: float) -> None:
+    print("\n" + "=" * 80)
+    print("EVALUATION SUMMARY")
+    print("=" * 80)
+    thresholds = sorted(summary.keys())
+    print(f"\n{'Threshold':>10} {'Recall':>10} {'Precision':>10} {'F1':>10} {'DSC':>10} {'FP/case':>10}")
+    print("-" * 70)
+    for t in thresholds:
+        m = summary[t]
+        marker = " *" if t == default_threshold else ""
+        print(
+            f"{t:>10.2f} {m['recall']:>10.4f} {m['precision']:>10.4f} "
+            f"{m['f1']:>10.4f} {m['dsc']:>10.4f} {m['fp_per_case']:>10.2f}{marker}"
+        )
+    print("\n* = default threshold")
+    best_recall_t = max(thresholds, key=lambda t: summary[t]["recall"])
+    best_f1_t = max(thresholds, key=lambda t: summary[t]["f1"])
+    print(f"\nBest Recall: {summary[best_recall_t]['recall']:.4f} at threshold {best_recall_t:.2f}")
+    print(f"Best F1: {summary[best_f1_t]['f1']:.4f} at threshold {best_f1_t:.2f}")
+    d = summary[default_threshold]
+    print(f"\nMetrics at default threshold ({default_threshold:.2f}):")
+    print(f"  Lesion-wise Recall: {d['recall']:.4f}")
+    print(f"  Lesion-wise Precision: {d['precision']:.4f}")
+    print(f"  Voxel-wise DSC: {d['dsc']:.4f}")
+    print(f"  FP per case: {d['fp_per_case']:.2f}")
+
+
+def save_results(summary: Dict, per_case_results: Dict, output_dir) -> None:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    df = pd.DataFrame(summary).T
+    df.index.name = "threshold"
+    csv_path = output_dir / "metrics.csv"
+    df.to_csv(csv_path)
+    print(f"\nSummary saved to {csv_path}")
+    json_path = output_dir / "detailed_results.json"
+    with open(json_path, "w") as f:
+        json.dump({"summary": summary, "per_case": per_case_results}, f, indent=2)
+    print(f"Detailed results saved to {json_path}")
+
+
+def run_evaluate(config: Config, split_file, prob_maps_dir, data_dir, output_dir) -> Dict:
+    summary, per_case = evaluate_split(split_file, prob_maps_dir, data_dir, config)
+    print_summary(summary, config.validation.default_threshold)
+    save_results(summary, per_case, output_dir)
+    return summary

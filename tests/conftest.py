@@ -7,10 +7,9 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The environment pins JAX_PLATFORMS to the tunneled TPU plugin and ignores
+# env-var overrides; jax.config is the reliable way to force the CPU backend.
+os.environ.pop("JAX_PLATFORMS", None)
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
@@ -18,6 +17,8 @@ if str(REPO_ROOT) not in sys.path:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)  # virtual mesh for sharding tests
 # CPU/TPU conv defaults to fast low-precision passes; tests verify numerics.
 jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -1,0 +1,114 @@
+"""Sliding-window engine: position logic, numerics vs serial reference loop."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from light_unet_tpu.ops.gaussian import gaussian_importance_map
+from light_unet_tpu.ops.sliding_window import (
+    SlidingWindowInferencer,
+    compute_positions,
+)
+
+
+class TinyNet(nn.Module):
+    """Small stand-in with patch-dependent (instance-normalized) output."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(4, (3, 3, 3), padding="SAME")(x)
+        mean = jnp.mean(h, axis=(1, 2, 3), keepdims=True)
+        h = nn.leaky_relu(h - mean)
+        h = nn.Conv(1, (1, 1, 1))(h)
+        return nn.sigmoid(h)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = TinyNet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    return model, params
+
+
+def test_positions_match_reference_logic():
+    """Reproduces utils.py:47-81: stride = patch*(1-overlap), snap tail."""
+    # 64 with patch 48, stride 24 -> [0, 16(snapped)]
+    pos = compute_positions((64, 48, 100), (48, 48, 48), 0.5)
+    zs = sorted({p[0] for p in pos})
+    ys = sorted({p[1] for p in pos})
+    xs = sorted({p[2] for p in pos})
+    assert zs == [0, 16]  # 0, then snap to 64-48
+    assert ys == [0]  # exact fit
+    assert xs == [0, 24, 48, 52]  # range(0, 53, 24) + snap 100-48
+    # volume smaller than patch -> single position at origin
+    pos = compute_positions((20, 20, 20), (48, 48, 48), 0.5)
+    assert pos.tolist() == [[0, 0, 0]]
+
+
+def _serial_reference(volume, model, params, patch_size, use_gaussian=True):
+    """Direct transcription of the reference algorithm (utils.py:11-139)."""
+    d, h, w = volume.shape
+    imp = (
+        gaussian_importance_map(patch_size)
+        if use_gaussian
+        else np.ones(patch_size, np.float32)
+    )
+    prob = np.zeros(volume.shape, np.float32)
+    count = np.zeros(volume.shape, np.float32)
+    for z, y, x in compute_positions(volume.shape, patch_size, 0.5):
+        ze, ye, xe = min(z + patch_size[0], d), min(y + patch_size[1], h), min(x + patch_size[2], w)
+        patch = volume[z:ze, y:ye, x:xe]
+        az, ay, ax = patch.shape
+        if patch.shape != patch_size:
+            patch = np.pad(patch, [(0, patch_size[i] - patch.shape[i]) for i in range(3)])
+        pred = np.asarray(model.apply(params, jnp.asarray(patch)[None, ..., None]))[0, ..., 0]
+        pred = pred[:az, :ay, :ax]
+        wgt = imp[:az, :ay, :ax]
+        prob[z:ze, y:ye, x:xe] += pred * wgt
+        count[z:ze, y:ye, x:xe] += wgt
+    return np.divide(prob, count, where=count > 0, out=prob)
+
+
+@pytest.mark.parametrize("shape", [(32, 32, 32), (35, 40, 29), (16, 16, 10)])
+def test_batched_matches_serial(tiny, shape, rng):
+    model, params = tiny
+    volume = rng.random(shape).astype(np.float32)
+    sw = SlidingWindowInferencer(
+        lambda p, x: model.apply(p, x), patch_size=(16, 16, 16), patch_batch=4, z_bucket=8
+    )
+    ours = sw(params, volume)
+    ref = _serial_reference(volume, model, params, (16, 16, 16))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_no_gaussian_mode(tiny, rng):
+    model, params = tiny
+    volume = rng.random((24, 24, 24)).astype(np.float32)
+    sw = SlidingWindowInferencer(
+        lambda p, x: model.apply(p, x),
+        patch_size=(16, 16, 16),
+        use_gaussian=False,
+        patch_batch=4,
+        z_bucket=8,
+    )
+    ours = sw(params, volume)
+    ref = _serial_reference(volume, model, params, (16, 16, 16), use_gaussian=False)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_z_bucket_does_not_change_result(tiny, rng):
+    model, params = tiny
+    volume = rng.random((20, 20, 27)).astype(np.float32)
+    mk = lambda zb: SlidingWindowInferencer(
+        lambda p, x: model.apply(p, x), patch_size=(16, 16, 16), patch_batch=4, z_bucket=zb
+    )
+    np.testing.assert_allclose(mk(1)(params, volume), mk(16)(params, volume), atol=1e-6)
+
+
+def test_4d_input_accepted(tiny, rng):
+    model, params = tiny
+    volume = rng.random((1, 20, 20, 20)).astype(np.float32)
+    sw = SlidingWindowInferencer(lambda p, x: model.apply(p, x), patch_size=(16, 16, 16), patch_batch=4)
+    assert sw(params, volume).shape == (20, 20, 20)
