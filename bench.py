@@ -38,44 +38,50 @@ def _make_volumes(tmpdir: Path, n: int):
 
 
 def bench_tpu(tmpdir: Path, ids) -> dict:
+    """Fused pipeline: decode (native, worker thread) -> ONE XLA program per
+    volume (normalize + body mask + batched sliding window, body-masked
+    output) -> fetch.  Host decode of case i+1 overlaps device compute of
+    case i (async dispatch)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
     import jax.numpy as jnp
 
     from light_unet_tpu.config import Config
     from light_unet_tpu.models.unet3d import build_model, init_params
-    from light_unet_tpu.ops.body_mask import generate_body_mask
-    from light_unet_tpu.ops.intensity import clip_and_normalize
-    from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
-    from light_unet_tpu.utils import nifti
+    from light_unet_tpu.ops.fused import FusedVolumePipeline
+    from light_unet_tpu.utils import fastio
 
     cfg = Config()
     model = build_model(cfg.model, compute_dtype=jnp.bfloat16, inference=True)
     params = jax.device_put(init_params(model, jax.random.PRNGKey(0), PATCH))
-    sw = SlidingWindowInferencer(
-        lambda p, x: model.apply(p, x, train=False),
-        patch_size=PATCH,
-        overlap=0.5,
-        use_gaussian=True,
-        patch_batch=cfg.tpu.patch_batch,
-        z_bucket=cfg.tpu.z_bucket,
+    pipe = FusedVolumePipeline(
+        lambda p, x: model.apply(p, x, train=False), cfg, patch_batch=cfg.tpu.patch_batch
     )
+    paths = [tmpdir / "images" / f"{cid}_0000.nii.gz" for cid in ids]
 
-    def one_volume(cid):
-        img = nifti.load(tmpdir / "images" / f"{cid}_0000.nii.gz").get_fdata(np.float32)
-        norm, _ = clip_and_normalize(img, 0.5, 99.5, (0, 1), z_bucket=cfg.tpu.z_bucket)
-        mask, _ = generate_body_mask(norm, cfg.data.body_mask, z_bucket=cfg.tpu.z_bucket)
-        prob = sw(params, norm)
-        return prob * mask
+    def run_all():
+        results = []
+        pending = None
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for img, _hdr in pool.map(fastio.load_f32, paths):
+                disp = pipe.dispatch(params, img)
+                if pending is not None:
+                    results.append(pipe.fetch(pending))
+                pending = disp
+            results.append(pipe.fetch(pending))
+        return results
 
     # warmup / compile on the first volume
     t0 = time.time()
-    one_volume(ids[0])
+    img, _ = fastio.load_f32(paths[0])
+    pipe(params, img)
     compile_s = time.time() - t0
 
     t0 = time.time()
-    for cid in ids:
-        one_volume(cid)
+    probs = run_all()
     dt = time.time() - t0
+    assert len(probs) == len(ids) and all(np.isfinite(p).all() for p in probs)
     return {
         "volumes_per_sec": len(ids) / dt,
         "seconds_per_volume": dt / len(ids),

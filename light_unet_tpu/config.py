@@ -322,7 +322,7 @@ class TpuConfig:
     """TPU-native knobs (no reference counterpart)."""
 
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params stay f32
-    patch_batch: int = 32  # patches per sliding-window forward chunk
+    patch_batch: int = 96  # patches per sliding-window forward chunk (MXU-profiled)
     data_axis: str = "data"  # mesh axis for data parallelism
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
     prefetch_depth: int = 3  # host loader prefetch queue depth

@@ -34,7 +34,7 @@ from light_unet_tpu.datasets.index import find_case_files, read_split_file
 from light_unet_tpu.models.metrics import get_connected_components
 from light_unet_tpu.models.unet3d import build_model, init_params
 from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
-from light_unet_tpu.utils import nifti
+from light_unet_tpu.utils import fastio, nifti
 
 import jax
 
@@ -126,54 +126,47 @@ class Inferencer:
         return str(p if p.is_absolute() else self.workdir / p)
 
     # ------------------------------------------------------------------
-    def infer_case(self, case_id: str, data_dir, threshold: float = 0.3) -> bool:
-        cfg = self.config
-        data_dir = Path(data_dir)
+    def _load_case_inputs(self, case_id: str, data_dir: Path):
+        """Host-side decode of one case (native fastio; runs in a worker
+        thread so it overlaps device compute of the previous case)."""
         image_files = find_case_files(data_dir, case_id, "image")
         if not image_files:
             print(f"Warning: No image files found for {case_id}")
-            return False
+            return None
+        image, header = fastio.load_f32(image_files[0])
+        spacing = [float(s) for s in header.get_zooms()[:3]]
 
-        image_nii = nifti.load(image_files[0])
-        image = image_nii.get_fdata(np.float32)
-        spacing = [float(s) for s in image_nii.header.get_zooms()[:3]]
-
-        bm = cfg.data.body_mask
-        apply_body_mask = bm.apply_to_inference and bm.enabled
+        bm = self.config.data.body_mask
         body_mask = None
-        if apply_body_mask:
+        if bm.apply_to_inference and bm.enabled:
             mask_path = data_dir / "body_masks" / f"{case_id}.nii.gz"
             if mask_path.exists():
-                body_mask = nifti.load(mask_path).get_fdata(np.float32) > 0.5
+                body_mask, _ = fastio.load_f32(mask_path)
+                body_mask = (body_mask > 0.5).astype(np.float32)
             else:
                 print(f"Warning: Body mask not found for {case_id}")
+        return {"image": image, "header": header, "spacing": spacing, "body_mask": body_mask}
 
-        try:
-            prob_map = self.sw(self.params, image)
-        except Exception as e:  # noqa: BLE001 - per-case isolation like the reference
-            print(f"Error during inference execution for {case_id}: {e}")
-            return False
-
-        if apply_body_mask and body_mask is not None:
-            prob_map = prob_map * body_mask
-
-        prob_path = self.prob_maps_dir / f"{case_id}_prob.nii.gz"
+    def _finalize_case(self, case_id: str, inputs, dispatched, threshold: float) -> bool:
+        """Fetch the device result, save prob map, extract candidate bboxes."""
+        cfg = self.config
+        prob_map = self.sw.fetch(dispatched)
+        header = inputs["header"]
         nifti.save(
-            nifti.Nifti1Image(prob_map.astype(np.float32), image_nii.affine, image_nii.header),
-            prob_path,
+            nifti.Nifti1Image(prob_map.astype(np.float32), header.affine(), header),
+            self.prob_maps_dir / f"{case_id}_prob.nii.gz",
         )
-
         bboxes = extract_bboxes(
             prob_map,
             threshold=threshold,
             min_volume_cc=cfg.data.volume_threshold.inference_cc,
-            spacing=spacing,
+            spacing=inputs["spacing"],
             expansion_voxels=cfg.data.bbox_expansion_voxels,
         )
         bbox_json = {
             "case_id": case_id,
             "processing_path": "B",
-            "orig_spacing": spacing,
+            "orig_spacing": inputs["spacing"],
             "threshold": threshold,
             "num_candidates": len(bboxes),
             "candidates": bboxes,
@@ -182,20 +175,61 @@ class Inferencer:
             json.dump(bbox_json, f, indent=2)
         return True
 
+    def infer_case(self, case_id: str, data_dir, threshold: float = 0.3) -> bool:
+        data_dir = Path(data_dir)
+        inputs = self._load_case_inputs(case_id, data_dir)
+        if inputs is None:
+            return False
+        try:
+            dispatched = self.sw.dispatch(self.params, inputs["image"], post_mask=inputs["body_mask"])
+            return self._finalize_case(case_id, inputs, dispatched, threshold)
+        except Exception as e:  # noqa: BLE001 - per-case isolation like the reference
+            print(f"Error during inference execution for {case_id}: {e}")
+            return False
+
     def infer_split(self, split_file, data_dir) -> Dict:
+        """Pipelined split inference: a worker thread decodes case i+1 while
+        the device computes case i and the host post-processes case i-1."""
+        from concurrent.futures import ThreadPoolExecutor
+
         case_ids = read_split_file(split_file)
+        data_dir = Path(data_dir)
         threshold = self.config.validation.default_threshold
         print(f"Performing inference on {len(case_ids)} cases...")
         t0 = time.time()
         successful, failed = 0, []
-        for case_id in case_ids:
-            if self.infer_case(case_id, data_dir, threshold=threshold):
-                successful += 1
-            else:
-                failed.append(case_id)
+
+        pending = None  # (case_id, inputs, dispatched)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            decoded = pool.map(lambda cid: self._load_case_inputs(cid, data_dir), case_ids)
+            for case_id, inputs in zip(case_ids, decoded):
+                if inputs is None:
+                    failed.append(case_id)
+                    continue
+                try:
+                    dispatched = self.sw.dispatch(
+                        self.params, inputs["image"], post_mask=inputs["body_mask"]
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"Error during inference execution for {case_id}: {e}")
+                    failed.append(case_id)
+                    continue
+                if pending is not None:
+                    if self._finalize_case(*pending, threshold):
+                        successful += 1
+                pending = (case_id, inputs, dispatched)
+            if pending is not None:
+                try:
+                    if self._finalize_case(*pending, threshold):
+                        successful += 1
+                except Exception as e:  # noqa: BLE001
+                    print(f"Error finalizing {pending[0]}: {e}")
+                    failed.append(pending[0])
+
         dt = time.time() - t0
-        print(
-            f"\nInference complete: {successful}/{len(case_ids)} cases in {dt:.1f}s "
-            f"({successful / dt:.2f} volumes/sec)" if dt > 0 else ""
-        )
+        if dt > 0:
+            print(
+                f"\nInference complete: {successful}/{len(case_ids)} cases in {dt:.1f}s "
+                f"({successful / dt:.2f} volumes/sec)"
+            )
         return {"successful": successful, "failed": failed, "seconds": dt}

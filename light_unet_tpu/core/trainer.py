@@ -240,12 +240,22 @@ class Trainer:
             self.train_dataset.reset_sample_counts()
 
         total_loss, num_batches = 0.0, 0
+        n_total = len(self.train_loader)
+        log_every = max(1, n_total // 5)
+        t0 = time.time()
         for images, labels in self.train_loader:
             loss = self._step_on_batch(images, labels)
             total_loss += loss
             num_batches += 1
             self.writer.add_scalar("Loss/train_step", loss, self._global_step)
             self._global_step += 1
+            if num_batches % log_every == 0 or num_batches == n_total:
+                rate = num_batches / max(time.time() - t0, 1e-9)
+                print(
+                    f"  epoch {epoch + 1} step {num_batches}/{n_total} "
+                    f"loss {total_loss / num_batches:.4f} ({rate:.2f} steps/s)",
+                    flush=True,
+                )
         avg_loss = total_loss / max(num_batches, 1)
 
         if self.mode == "probabilistic" and self.train_dataset is not None:

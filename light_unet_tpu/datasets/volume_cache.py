@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 
-from light_unet_tpu.utils import nifti
+from light_unet_tpu.utils import fastio
 
 
 class VolumeCache:
@@ -33,7 +33,9 @@ class VolumeCache:
             if path in self._store:
                 self._store.move_to_end(path)
                 return self._store[path]
-        data = nifti.load(path).get_fdata(dtype)
+        data, _ = fastio.load_f32(path)  # native decode; python-codec fallback
+        if dtype != np.float32:
+            data = data.astype(dtype)
         with self._lock:
             self._store[path] = data
             self._store.move_to_end(path)

@@ -24,16 +24,8 @@ from light_unet_tpu.ops.ccl import keep_largest_component
 from light_unet_tpu.ops.morphology import binary_closing, binary_dilation
 
 
-@partial(jax.jit, static_argnames=("threshold", "closing_voxels", "keep_largest", "dilate_voxels"))
-def _body_mask_jit(
-    normalized,  # [Dp,Hp,Wp] f32 (padded region must be 0)
-    valid,  # [Dp,Hp,Wp] f32 validity mask
-    *,
-    threshold: float,
-    closing_voxels: int,
-    keep_largest: bool,
-    dilate_voxels: int,
-):
+def body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels):
+    """Traceable core shared with the fused per-volume programs (ops/fused.py)."""
     mask = (normalized > threshold).astype(jnp.float32) * valid
     initial = jnp.sum(mask)
     if closing_voxels > 0:
@@ -48,6 +40,19 @@ def _body_mask_jit(
     final = jnp.sum(mask)
     counts = jnp.stack([initial, after_closing, after_largest, final]).astype(jnp.int32)
     return mask, counts
+
+
+@partial(jax.jit, static_argnames=("threshold", "closing_voxels", "keep_largest", "dilate_voxels"))
+def _body_mask_jit(
+    normalized,  # [Dp,Hp,Wp] f32 (padded region must be 0)
+    valid,  # [Dp,Hp,Wp] f32 validity mask
+    *,
+    threshold: float,
+    closing_voxels: int,
+    keep_largest: bool,
+    dilate_voxels: int,
+):
+    return body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels)
 
 
 def generate_body_mask(

@@ -1,0 +1,195 @@
+"""Fused per-volume device programs.
+
+Under the remote-execution TPU runtime every dispatched program costs a
+~30 ms host<->device round trip and every 28 MB volume transfer ~120 ms, so
+chaining separate normalize / morphology / CCL / sliding-window programs
+wastes most of a volume's wall clock on traffic (measured: 8.1 s/volume
+unfused vs ~0.4 s of actual device compute).  These entry points fuse each
+pipeline stage into ONE XLA program with one H2D and the minimal D2H:
+
+* ``normalize_and_body_mask`` — the preprocess stage's device work
+  (clip+rescale, threshold, closing, largest component, dilation);
+* ``preprocess_and_infer`` — the benchmark/serving path: raw volume in,
+  body-masked probability map out, nothing else ever leaves the device.
+
+Numerics are identical to the unfused ops (same traceable cores).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from light_unet_tpu.ops.body_mask import body_mask_core
+from light_unet_tpu.ops.gaussian import gaussian_importance_map
+from light_unet_tpu.ops.intensity import (
+    clip_normalize_device,
+    compute_clip_values,
+    pad_to_bucket,
+)
+from light_unet_tpu.ops.sliding_window import (
+    _round_up,
+    bucketed_shape,
+    choose_chunk,
+    compute_positions,
+    sliding_window_core,
+)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "range_min", "range_max", "threshold", "closing_voxels", "keep_largest", "dilate_voxels",
+    ),
+)
+def _normalize_and_body_mask_jit(
+    volume, valid, lo, hi, *,
+    range_min: float, range_max: float,
+    threshold: float, closing_voxels: int, keep_largest: bool, dilate_voxels: int,
+):
+    normalized = clip_normalize_device(volume, valid, lo, hi, range_min=range_min, range_max=range_max)
+    mask, counts = body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels)
+    return normalized, mask, counts
+
+
+def normalize_and_body_mask(
+    image: np.ndarray,
+    intensity_cfg,
+    body_mask_cfg,
+    z_bucket: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, dict, dict]:
+    """One device program for the whole preprocess stage of one volume.
+
+    Returns (normalized, body_mask(bool), intensity_metadata, mask_metadata)
+    with the same metadata schemas as the standalone ops."""
+    image = np.asarray(image, dtype=np.float32)
+    lo, hi = compute_clip_values(
+        image, intensity_cfg.clip_percentile_low, intensity_cfg.clip_percentile_high
+    )
+    padded, valid = pad_to_bucket(image, z_bucket)
+    rng_min, rng_max = intensity_cfg.normalization_range
+
+    normalized, mask, counts = _normalize_and_body_mask_jit(
+        jnp.asarray(padded), jnp.asarray(valid), jnp.float32(lo), jnp.float32(hi),
+        range_min=float(rng_min), range_max=float(rng_max),
+        threshold=float(body_mask_cfg.threshold),
+        closing_voxels=int(body_mask_cfg.closing_voxels),
+        keep_largest=bool(body_mask_cfg.keep_largest_component),
+        dilate_voxels=int(body_mask_cfg.dilate_voxels),
+    )
+    sl = tuple(slice(0, s) for s in image.shape)
+    normalized_np = np.asarray(normalized)[sl]
+    mask_np = np.asarray(mask)[sl] > 0.5
+    counts = np.asarray(counts)
+
+    coords = np.argwhere(mask_np)
+    bbox_min = coords.min(axis=0).tolist() if len(coords) else [0, 0, 0]
+    bbox_max = coords.max(axis=0).tolist() if len(coords) else list(mask_np.shape)
+    intensity_meta = {
+        "clip_values": {
+            "min": lo, "max": hi,
+            "low_percentile": intensity_cfg.clip_percentile_low,
+            "high_percentile": intensity_cfg.clip_percentile_high,
+        },
+        "normalization_range": list(intensity_cfg.normalization_range),
+    }
+    mask_meta = {
+        "threshold": float(body_mask_cfg.threshold),
+        "closing_voxels": int(body_mask_cfg.closing_voxels),
+        "keep_largest_component": bool(body_mask_cfg.keep_largest_component),
+        "dilate_voxels": int(body_mask_cfg.dilate_voxels),
+        "voxel_counts": {
+            "initial": int(counts[0]),
+            "after_closing": int(counts[1]),
+            "after_largest_component": int(counts[2]),
+            "final": int(counts[3]),
+        },
+        "bbox": {"min": bbox_min, "max": bbox_max},
+    }
+    return normalized_np, mask_np, intensity_meta, mask_meta
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "patch_size", "chunk",
+        "range_min", "range_max", "threshold", "closing_voxels", "keep_largest",
+        "dilate_voxels", "apply_mask",
+    ),
+)
+def _preprocess_and_infer_jit(
+    params, volume, valid, lo, hi, positions, pmask, imp_map, *,
+    apply_fn: Callable, patch_size: Tuple[int, int, int], chunk: int,
+    range_min: float, range_max: float,
+    threshold: float, closing_voxels: int, keep_largest: bool, dilate_voxels: int,
+    apply_mask: bool,
+):
+    normalized = clip_normalize_device(volume, valid, lo, hi, range_min=range_min, range_max=range_max)
+    prob = sliding_window_core(params, normalized, positions, pmask, imp_map, apply_fn, patch_size, chunk)
+    if apply_mask:
+        body, _ = body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels)
+        prob = prob * body
+    return prob
+
+
+class FusedVolumePipeline:
+    """Raw volume -> body-masked probability map, one XLA program per volume.
+
+    Supports async dispatch so host NIfTI decode of case i+1 overlaps device
+    compute of case i."""
+
+    def __init__(self, apply_fn, config, patch_batch: int = 96):
+        self.apply_fn = apply_fn
+        self.cfg = config
+        self.patch_size = tuple(config.data.patch_size)
+        self.patch_batch = patch_batch
+        self.z_bucket = config.tpu.z_bucket
+        self.imp_map = jnp.asarray(gaussian_importance_map(self.patch_size))
+
+    def dispatch(self, params, image: np.ndarray):
+        cfg = self.cfg
+        image = np.asarray(image, dtype=np.float32)
+        lo, hi = compute_clip_values(
+            image, cfg.data.intensity.clip_percentile_low, cfg.data.intensity.clip_percentile_high
+        )
+        shape = image.shape
+        pshape = bucketed_shape(shape, self.patch_size, self.z_bucket)
+        padded = np.zeros(pshape, np.float32)
+        padded[tuple(slice(0, s) for s in shape)] = image
+        valid = np.zeros(pshape, np.float32)
+        valid[tuple(slice(0, s) for s in shape)] = 1.0
+
+        positions = compute_positions(shape, self.patch_size, 0.5)
+        n = len(positions)
+        chunk = choose_chunk(n, self.patch_batch)
+        n_pad = _round_up(max(n, 1), chunk)
+        posp = np.zeros((n_pad, 3), np.int32)
+        posp[:n] = positions
+        pmask = np.zeros((n_pad,), np.float32)
+        pmask[:n] = 1.0
+
+        rng = cfg.data.intensity.normalization_range
+        bm = cfg.data.body_mask
+        out = _preprocess_and_infer_jit(
+            params, jnp.asarray(padded), jnp.asarray(valid),
+            jnp.float32(lo), jnp.float32(hi), jnp.asarray(posp), jnp.asarray(pmask),
+            self.imp_map,
+            apply_fn=self.apply_fn, patch_size=self.patch_size, chunk=chunk,
+            range_min=float(rng[0]), range_max=float(rng[1]),
+            threshold=float(bm.threshold), closing_voxels=int(bm.closing_voxels),
+            keep_largest=bool(bm.keep_largest_component), dilate_voxels=int(bm.dilate_voxels),
+            apply_mask=bool(bm.enabled and bm.apply_to_inference),
+        )
+        return out, shape
+
+    @staticmethod
+    def fetch(dispatched) -> np.ndarray:
+        out, shape = dispatched
+        return np.asarray(out)[: shape[0], : shape[1], : shape[2]]
+
+    def __call__(self, params, image: np.ndarray) -> np.ndarray:
+        return self.fetch(self.dispatch(params, image))

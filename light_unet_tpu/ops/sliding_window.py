@@ -73,56 +73,88 @@ def bucketed_shape(
     return tuple(out)  # type: ignore[return-value]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("apply_fn", "patch_size", "chunk"),
-)
-def _sliding_window_jit(
+def sliding_window_core(
     params,
     volume,  # [Dp, Hp, Wp] f32, zero-padded to bucket shape
     positions,  # [Nmax, 3] i32 (dummies point at origin)
     mask,  # [Nmax] f32, 1=real patch 0=padding
     imp_map,  # [pd, ph, pw] f32
-    *,
     apply_fn: Callable,
     patch_size: Tuple[int, int, int],
     chunk: int,
 ):
+    """Traceable core: gather-all -> chunked batched forward -> scatter-add.
+
+    Profiled structure (TPU v5e): a single vmapped gather, ``lax.map`` over
+    forward chunks (~96 patches/chunk keeps the MXU busy without scan
+    overhead), then one fori scatter loop of in-place dynamic-update-slices.
+    """
     n = positions.shape[0]
-    n_chunks = n // chunk
-    pos_c = positions.reshape(n_chunks, chunk, 3)
-    mask_c = mask.reshape(n_chunks, chunk)
+
+    def gather(p):
+        return lax.dynamic_slice(volume, (p[0], p[1], p[2]), patch_size)
+
+    patches = jax.vmap(gather)(positions)  # [n, pd, ph, pw]
+
+    def fwd_chunk(c):
+        return apply_fn(params, c[..., None])[..., 0].astype(jnp.float32)
+
+    preds = lax.map(fwd_chunk, patches.reshape(n // chunk, chunk, *patch_size))
+    preds = preds.reshape(n, *patch_size)
+    weights = imp_map[None] * mask[:, None, None, None]  # zero for dummy slots
+    weighted = preds * weights
 
     prob = jnp.zeros(volume.shape, jnp.float32)
     count = jnp.zeros(volume.shape, jnp.float32)
 
-    def run_chunk(carry, inputs):
-        prob, count = carry
-        pos, msk = inputs
+    def scatter_one(i, acc):
+        prob, count = acc
+        p = positions[i]
+        idx = (p[0], p[1], p[2])
+        cur = lax.dynamic_slice(prob, idx, patch_size)
+        prob = lax.dynamic_update_slice(prob, cur + weighted[i], idx)
+        cur_c = lax.dynamic_slice(count, idx, patch_size)
+        count = lax.dynamic_update_slice(count, cur_c + weights[i], idx)
+        return prob, count
 
-        def gather(p):
-            return lax.dynamic_slice(volume, (p[0], p[1], p[2]), patch_size)
-
-        patches = jax.vmap(gather)(pos)  # [chunk, pd, ph, pw]
-        preds = apply_fn(params, patches[..., None])[..., 0].astype(jnp.float32)
-        weights = imp_map[None] * msk[:, None, None, None]  # zero for dummies
-        weighted = preds * weights
-
-        def scatter_one(i, acc):
-            prob, count = acc
-            p = pos[i]
-            idx = (p[0], p[1], p[2])
-            cur = lax.dynamic_slice(prob, idx, patch_size)
-            prob = lax.dynamic_update_slice(prob, cur + weighted[i], idx)
-            cur_c = lax.dynamic_slice(count, idx, patch_size)
-            count = lax.dynamic_update_slice(count, cur_c + weights[i], idx)
-            return prob, count
-
-        prob, count = lax.fori_loop(0, chunk, scatter_one, (prob, count))
-        return (prob, count), None
-
-    (prob, count), _ = lax.scan(run_chunk, (prob, count), (pos_c, mask_c))
+    prob, count = lax.fori_loop(0, n, scatter_one, (prob, count))
     return jnp.where(count > 0, prob / jnp.where(count > 0, count, 1.0), prob)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "patch_size", "chunk", "use_post_mask"),
+)
+def _sliding_window_jit(
+    params,
+    volume,
+    positions,
+    mask,
+    imp_map,
+    post_mask,  # [Dp,Hp,Wp] f32 multiplied into the result (ones if unused)
+    *,
+    apply_fn: Callable,
+    patch_size: Tuple[int, int, int],
+    chunk: int,
+    use_post_mask: bool,
+):
+    out = sliding_window_core(params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk)
+    if use_post_mask:
+        out = out * post_mask
+    return out
+
+
+def choose_chunk(n_patches: int, patch_batch: int) -> int:
+    """Forward-chunk size for ``n_patches`` real patches: the smallest
+    power-of-two bucket (>=8) that covers them, capped at ``patch_batch``.
+
+    Small volumes produce a handful of patches; always padding to the full
+    ``patch_batch`` (e.g. 96) would waste up to 24x MXU work on dummy slots.
+    Bucketing keeps the number of distinct compiled programs <= 5."""
+    c = 8
+    while c < min(n_patches, patch_batch):
+        c *= 2
+    return min(c, patch_batch)
 
 
 class SlidingWindowInferencer:
@@ -147,8 +179,11 @@ class SlidingWindowInferencer:
         else:
             self.imp_map = np.ones(self.patch_size, dtype=np.float32)
 
-    def __call__(self, params, volume: np.ndarray) -> np.ndarray:
-        """volume [D,H,W] (numpy or jax) -> probability map [D,H,W] float32."""
+    def dispatch(self, params, volume: np.ndarray, post_mask: Optional[np.ndarray] = None):
+        """Start the device computation and return (device_array, orig_shape)
+        WITHOUT synchronizing — lets callers pipeline host IO (decode the next
+        case) against device compute.  ``post_mask`` (e.g. a body mask) is
+        multiplied into the probability map on device."""
         volume = np.asarray(volume, dtype=np.float32)
         if volume.ndim == 4 and volume.shape[0] == 1:
             volume = volume[0]
@@ -158,7 +193,8 @@ class SlidingWindowInferencer:
 
         positions = compute_positions(shape, self.patch_size, self.overlap)
         n = positions.shape[0]
-        n_pad = _round_up(max(n, 1), self.patch_batch)
+        chunk = choose_chunk(n, self.patch_batch)
+        n_pad = _round_up(max(n, 1), chunk)
         pos_padded = np.zeros((n_pad, 3), dtype=np.int32)
         pos_padded[:n] = positions
         mask = np.zeros((n_pad,), dtype=np.float32)
@@ -168,17 +204,35 @@ class SlidingWindowInferencer:
         vol_padded = np.zeros(pshape, dtype=np.float32)
         vol_padded[: shape[0], : shape[1], : shape[2]] = volume
 
+        use_post_mask = post_mask is not None
+        if use_post_mask:
+            pm = np.zeros(pshape, dtype=np.float32)
+            pm[: shape[0], : shape[1], : shape[2]] = np.asarray(post_mask, dtype=np.float32)
+        else:
+            pm = np.zeros((1, 1, 1), dtype=np.float32)  # unused placeholder
+
         out = _sliding_window_jit(
             params,
             jnp.asarray(vol_padded),
             jnp.asarray(pos_padded),
             jnp.asarray(mask),
             jnp.asarray(self.imp_map),
+            jnp.asarray(pm) if use_post_mask else jnp.asarray(pm),
             apply_fn=self.apply_fn,
             patch_size=self.patch_size,
-            chunk=self.patch_batch,
+            chunk=chunk,
+            use_post_mask=use_post_mask,
         )
+        return out, shape
+
+    @staticmethod
+    def fetch(dispatched) -> np.ndarray:
+        out, shape = dispatched
         return np.asarray(out)[: shape[0], : shape[1], : shape[2]]
+
+    def __call__(self, params, volume: np.ndarray, post_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """volume [D,H,W] (numpy or jax) -> probability map [D,H,W] float32."""
+        return self.fetch(self.dispatch(params, volume, post_mask))
 
 
 def sliding_window_inference_3d(

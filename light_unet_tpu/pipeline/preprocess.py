@@ -24,9 +24,10 @@ import numpy as np
 
 from light_unet_tpu.config import Config
 from light_unet_tpu.datasets.index import read_split_file
-from light_unet_tpu.ops.body_mask import generate_body_mask
+from light_unet_tpu.ops.body_mask import generate_body_mask  # noqa: F401 (re-export)
+from light_unet_tpu.ops.fused import normalize_and_body_mask
 from light_unet_tpu.ops.intensity import clip_and_normalize
-from light_unet_tpu.utils import nifti
+from light_unet_tpu.utils import fastio, nifti
 
 
 def calculate_voxel_thresholds(spacing, volume_cc_list) -> Dict:
@@ -72,30 +73,31 @@ def preprocess_case(case_id: str, raw_dir, processed_dir, config: Config) -> Tup
     z_bucket = config.tpu.z_bucket
     metadata_list = []
     for img_file in sorted(image_files):
-        img_nii = nifti.load(img_file)
-        img_data = img_nii.get_fdata(np.float32)
-        spacing = [float(s) for s in img_nii.header.get_zooms()[:3]]
+        img_data, header = fastio.load_f32(img_file)
+        affine = header.affine()
+        spacing = [float(s) for s in header.get_zooms()[:3]]
 
         expected = data_cfg.spacing.target
         if not np.allclose(spacing, expected, atol=0.1):
             print(f"Warning: Case {case_id} has spacing {spacing}, expected {expected}")
 
-        normalized, intensity_meta = clip_and_normalize(
-            img_data,
-            low_percentile=data_cfg.intensity.clip_percentile_low,
-            high_percentile=data_cfg.intensity.clip_percentile_high,
-            target_range=tuple(data_cfg.intensity.normalization_range),
-            z_bucket=z_bucket,
-        )
-
         body_mask_meta = None
         if data_cfg.body_mask.enabled:
-            body_mask, body_mask_meta = generate_body_mask(
-                normalized, data_cfg.body_mask, z_bucket=z_bucket
+            # one fused device program: normalize + body mask
+            normalized, body_mask, intensity_meta, body_mask_meta = normalize_and_body_mask(
+                img_data, data_cfg.intensity, data_cfg.body_mask, z_bucket=z_bucket
             )
             nifti.save(
-                nifti.Nifti1Image(body_mask.astype(np.uint8), img_nii.affine, img_nii.header),
+                nifti.Nifti1Image(body_mask.astype(np.uint8), affine, header),
                 dirs["body_masks"] / f"{case_id}.nii.gz",
+            )
+        else:
+            normalized, intensity_meta = clip_and_normalize(
+                img_data,
+                low_percentile=data_cfg.intensity.clip_percentile_low,
+                high_percentile=data_cfg.intensity.clip_percentile_high,
+                target_range=tuple(data_cfg.intensity.normalization_range),
+                z_bucket=z_bucket,
             )
 
         voxel_thresholds = calculate_voxel_thresholds(
@@ -103,7 +105,7 @@ def preprocess_case(case_id: str, raw_dir, processed_dir, config: Config) -> Tup
         )
 
         nifti.save(
-            nifti.Nifti1Image(normalized.astype(np.float32), img_nii.affine, img_nii.header),
+            nifti.Nifti1Image(normalized.astype(np.float32), affine, header),
             dirs["images"] / img_file.name,
         )
 

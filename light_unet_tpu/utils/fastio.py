@@ -1,0 +1,156 @@
+"""ctypes bindings for the native fastio library (``native/fastio.cpp``).
+
+Provides GIL-free, multithreaded NIfTI decode (gzip inflate + dtype
+conversion + scl scaling) for the host data path.  Falls back transparently
+to the pure-Python codec (``utils/nifti.py``) when the shared library isn't
+built or a file needs features the native path doesn't cover (big-endian).
+
+Build on demand: ``make -C native`` (or ``ensure_built()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from light_unet_tpu.utils import nifti
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+_NATIVE_DIR = _REPO_ROOT / "native"
+_LIB_PATH = _NATIVE_DIR / "libfastio.so"
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Compile the shared library if missing.  Returns availability."""
+    if _LIB_PATH.exists():
+        return True
+    if not (_NATIVE_DIR / "fastio.cpp").exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=quiet,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+    return _LIB_PATH.exists()
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists() and not ensure_built():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.fastio_read_header.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+        lib.fastio_read_header.restype = ctypes.c_int
+        lib.fastio_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.fastio_decode.restype = ctypes.c_int64
+        lib.fastio_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
+        lib.fastio_decode_batch.restype = None
+        lib.fastio_version.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_header(path) -> Optional[nifti.Nifti1Header]:
+    """Parse just the header (cheap partial inflate for .gz)."""
+    lib = _load()
+    if lib is None:
+        return nifti.load(path).header  # fallback: full load
+    buf = (ctypes.c_uint8 * nifti.HEADER_SIZE)()
+    rc = lib.fastio_read_header(str(path).encode(), buf)
+    if rc != 0:
+        return None
+    return nifti.Nifti1Header.parse(bytes(buf))
+
+
+def load_f32(path) -> Tuple[np.ndarray, nifti.Nifti1Header]:
+    """Decode one NIfTI volume to a float32 array (scl scaling applied —
+    nibabel ``get_fdata`` semantics).  Falls back to the Python codec on any
+    native-path failure."""
+    lib = _load()
+    if lib is not None:
+        hdr = read_header(path)
+        if hdr is not None and hdr.endian == "<":
+            shape = hdr.get_data_shape()
+            n = int(np.prod(shape)) if shape else 0
+            out = np.empty(n, dtype=np.float32)
+            hbuf = (ctypes.c_uint8 * nifti.HEADER_SIZE)()
+            rc = lib.fastio_decode(
+                str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), n, hbuf
+            )
+            if rc == n:
+                return out.reshape(shape, order="F"), hdr
+    img = nifti.load(path)
+    return img.get_fdata(np.float32), img.header
+
+
+def load_batch_f32(
+    paths: Sequence, n_threads: int = 0
+) -> List[Tuple[np.ndarray, nifti.Nifti1Header]]:
+    """Decode many volumes in parallel native threads (one syscall boundary,
+    no GIL).  Falls back per-file to the Python codec."""
+    lib = _load()
+    if lib is None:
+        return [load_f32(p) for p in paths]
+
+    headers: List[Optional[nifti.Nifti1Header]] = [read_header(p) for p in paths]
+    native_idx = [
+        i for i, h in enumerate(headers) if h is not None and h.endian == "<"
+    ]
+    results: List[Optional[Tuple[np.ndarray, nifti.Nifti1Header]]] = [None] * len(paths)
+
+    if native_idx:
+        n = len(native_idx)
+        bufs = []
+        caps = (ctypes.c_int64 * n)()
+        dsts = (ctypes.c_void_p * n)()
+        hdrs = (ctypes.c_void_p * n)()
+        cpaths = (ctypes.c_char_p * n)()
+        hdr_bufs = []
+        for j, i in enumerate(native_idx):
+            shape = headers[i].get_data_shape()
+            count = int(np.prod(shape)) if shape else 0
+            arr = np.empty(count, dtype=np.float32)
+            bufs.append(arr)
+            caps[j] = count
+            dsts[j] = arr.ctypes.data_as(ctypes.c_void_p).value
+            hb = (ctypes.c_uint8 * nifti.HEADER_SIZE)()
+            hdr_bufs.append(hb)
+            hdrs[j] = ctypes.cast(hb, ctypes.c_void_p).value
+            cpaths[j] = str(paths[i]).encode()
+        counts = (ctypes.c_int64 * n)()
+        lib.fastio_decode_batch(cpaths, n, dsts, caps, hdrs, counts, int(n_threads))
+        for j, i in enumerate(native_idx):
+            if counts[j] == caps[j]:
+                shape = headers[i].get_data_shape()
+                results[i] = (bufs[j].reshape(shape, order="F"), headers[i])
+
+    for i, r in enumerate(results):
+        if r is None:
+            results[i] = load_f32(paths[i])
+    return results  # type: ignore[return-value]

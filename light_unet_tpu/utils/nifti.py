@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+import zlib
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Optional, Tuple, Union
@@ -262,8 +263,11 @@ class Nifti1Image:
 
 def _read_bytes(path: Path) -> bytes:
     if path.suffix == ".gz" or str(path).endswith(".nii.gz"):
-        with gzip.open(path, "rb") as f:
-            return f.read()
+        try:
+            with gzip.open(path, "rb") as f:
+                return f.read()
+        except (gzip.BadGzipFile, EOFError, zlib.error) as e:
+            raise NiftiError(f"corrupt gzip stream in {path}: {e}") from e
     return path.read_bytes()
 
 

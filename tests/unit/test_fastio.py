@@ -1,0 +1,77 @@
+"""Native fastio library: decode parity with the Python codec."""
+
+import numpy as np
+import pytest
+
+from light_unet_tpu.utils import fastio, nifti
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    if not fastio.ensure_built():
+        pytest.skip("native fastio not built (no compiler?)")
+    assert fastio.available()
+    return True
+
+
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.float32, np.int16, np.uint8, np.float64])
+def test_decode_matches_python_codec(tmp_path, rng, lib_available, suffix, dtype):
+    data = (rng.random((9, 11, 13)) * 50).astype(dtype)
+    affine = np.diag([4.0, 4.0, 4.0, 1.0])
+    path = tmp_path / f"vol{suffix}"
+    nifti.save(nifti.Nifti1Image(data, affine), path)
+
+    arr, hdr = fastio.load_f32(path)
+    assert arr.dtype == np.float32
+    np.testing.assert_allclose(arr, data.astype(np.float32))
+    assert hdr.get_zooms() == (4.0, 4.0, 4.0)
+
+
+def test_decode_applies_scaling(tmp_path, lib_available):
+    data = np.arange(27, dtype=np.int16).reshape(3, 3, 3)
+    img = nifti.Nifti1Image(data, np.eye(4))
+    img.header.scl_slope = 3.0
+    img.header.scl_inter = -1.0
+    path = tmp_path / "scaled.nii.gz"
+    nifti.save(img, path)
+    arr, _ = fastio.load_f32(path)
+    np.testing.assert_allclose(arr, data * 3.0 - 1.0)
+
+
+def test_read_header_only(tmp_path, rng, lib_available):
+    data = rng.random((5, 6, 7)).astype(np.float32)
+    path = tmp_path / "h.nii.gz"
+    nifti.save(nifti.Nifti1Image(data, np.diag([2.0, 3.0, 4.0, 1.0])), path)
+    hdr = fastio.read_header(path)
+    assert hdr.get_data_shape() == (5, 6, 7)
+    assert hdr.get_zooms() == (2.0, 3.0, 4.0)
+
+
+def test_batch_decode(tmp_path, rng, lib_available):
+    paths = []
+    arrays = []
+    for i in range(5):
+        data = rng.random((6 + i, 7, 8)).astype(np.float32)
+        p = tmp_path / f"b{i}.nii.gz"
+        nifti.save(nifti.Nifti1Image(data, np.eye(4)), p)
+        paths.append(p)
+        arrays.append(data)
+    out = fastio.load_batch_f32(paths, n_threads=3)
+    assert len(out) == 5
+    for (arr, hdr), expected in zip(out, arrays):
+        np.testing.assert_allclose(arr, expected)
+
+
+def test_fallback_on_missing_file(tmp_path, lib_available):
+    with pytest.raises(Exception):
+        fastio.load_f32(tmp_path / "nope.nii.gz")
+
+
+def test_fortran_order_matches(tmp_path, lib_available):
+    """Native path must reproduce the codec's (nx,ny,nz) F-order layout."""
+    data = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    path = tmp_path / "f.nii"
+    nifti.save(nifti.Nifti1Image(data, np.eye(4)), path)
+    arr, _ = fastio.load_f32(path)
+    np.testing.assert_array_equal(arr, data)

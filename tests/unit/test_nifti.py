@@ -75,6 +75,17 @@ def test_rejects_garbage(tmp_path):
         nifti.load(path)
 
 
+def test_rejects_corrupt_gzip(tmp_path):
+    """A .nii.gz that isn't gzip (or is truncated) must raise NiftiError,
+    not leak gzip.BadGzipFile/EOFError (found by the e2e verify drive)."""
+    for name, content in [("bad1.nii.gz", b"not a nifti"),
+                          ("bad2.nii.gz", b"\x1f\x8b\x08\x00trunc")]:
+        path = tmp_path / name
+        path.write_bytes(content)
+        with pytest.raises(nifti.NiftiError):
+            nifti.load(path)
+
+
 def test_gzip_output_is_gzip(tmp_path):
     data = np.zeros((3, 3, 3), dtype=np.float32)
     path = tmp_path / "z.nii.gz"
