@@ -56,7 +56,10 @@ def bench_tpu(tmpdir: Path, ids) -> dict:
     model = build_model(cfg.model, compute_dtype=jnp.bfloat16, inference=True)
     params = jax.device_put(init_params(model, jax.random.PRNGKey(0), PATCH))
     pipe = FusedVolumePipeline(
-        lambda p, x: model.apply(p, x, train=False), cfg, patch_batch=cfg.tpu.patch_batch
+        lambda p, x: model.apply(p, x, train=False),
+        cfg,
+        patch_batch=cfg.tpu.patch_batch,
+        transfer_dtype="bfloat16",  # serving mode: half the upload traffic
     )
     paths = [tmpdir / "images" / f"{cid}_0000.nii.gz" for cid in ids]
 

@@ -29,7 +29,7 @@ from light_unet_tpu.ops.gaussian import gaussian_importance_map
 from light_unet_tpu.ops.intensity import (
     clip_normalize_device,
     compute_clip_values,
-    pad_to_bucket,
+    pad_volume,
 )
 from light_unet_tpu.ops.sliding_window import (
     _round_up,
@@ -40,6 +40,16 @@ from light_unet_tpu.ops.sliding_window import (
 )
 
 
+def _valid_mask(shape, true_dims):
+    """Validity mask for a zero-padded volume, built ON DEVICE from the three
+    true extents (traced i32 scalars) — replaces a full-volume H2D upload
+    (24 MB for a whole-body PET volume, ~170 ms over the remote TPU link)."""
+    d = jax.lax.broadcasted_iota(jnp.int32, shape, 0) < true_dims[0]
+    h = jax.lax.broadcasted_iota(jnp.int32, shape, 1) < true_dims[1]
+    w = jax.lax.broadcasted_iota(jnp.int32, shape, 2) < true_dims[2]
+    return (d & h & w).astype(jnp.float32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -47,10 +57,11 @@ from light_unet_tpu.ops.sliding_window import (
     ),
 )
 def _normalize_and_body_mask_jit(
-    volume, valid, lo, hi, *,
+    volume, true_dims, lo, hi, *,
     range_min: float, range_max: float,
     threshold: float, closing_voxels: int, keep_largest: bool, dilate_voxels: int,
 ):
+    valid = _valid_mask(volume.shape, true_dims)
     normalized = clip_normalize_device(volume, valid, lo, hi, range_min=range_min, range_max=range_max)
     mask, counts = body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels)
     return normalized, mask, counts
@@ -70,11 +81,12 @@ def normalize_and_body_mask(
     lo, hi = compute_clip_values(
         image, intensity_cfg.clip_percentile_low, intensity_cfg.clip_percentile_high
     )
-    padded, valid = pad_to_bucket(image, z_bucket)
+    padded = pad_volume(image, z_bucket)
     rng_min, rng_max = intensity_cfg.normalization_range
 
     normalized, mask, counts = _normalize_and_body_mask_jit(
-        jnp.asarray(padded), jnp.asarray(valid), jnp.float32(lo), jnp.float32(hi),
+        jnp.asarray(padded), jnp.asarray(np.array(image.shape, np.int32)),
+        jnp.float32(lo), jnp.float32(hi),
         range_min=float(rng_min), range_max=float(rng_max),
         threshold=float(body_mask_cfg.threshold),
         closing_voxels=int(body_mask_cfg.closing_voxels),
@@ -118,22 +130,24 @@ def normalize_and_body_mask(
     static_argnames=(
         "apply_fn", "patch_size", "chunk",
         "range_min", "range_max", "threshold", "closing_voxels", "keep_largest",
-        "dilate_voxels", "apply_mask",
+        "dilate_voxels", "apply_mask", "out_dtype",
     ),
 )
 def _preprocess_and_infer_jit(
-    params, volume, valid, lo, hi, positions, pmask, imp_map, *,
+    params, volume, true_dims, lo, hi, positions, pmask, imp_map, *,
     apply_fn: Callable, patch_size: Tuple[int, int, int], chunk: int,
     range_min: float, range_max: float,
     threshold: float, closing_voxels: int, keep_largest: bool, dilate_voxels: int,
-    apply_mask: bool,
+    apply_mask: bool, out_dtype=jnp.float32,
 ):
+    volume = volume.astype(jnp.float32)
+    valid = _valid_mask(volume.shape, true_dims)
     normalized = clip_normalize_device(volume, valid, lo, hi, range_min=range_min, range_max=range_max)
     prob = sliding_window_core(params, normalized, positions, pmask, imp_map, apply_fn, patch_size, chunk)
     if apply_mask:
         body, _ = body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels)
         prob = prob * body
-    return prob
+    return prob.astype(out_dtype)
 
 
 class FusedVolumePipeline:
@@ -142,13 +156,20 @@ class FusedVolumePipeline:
     Supports async dispatch so host NIfTI decode of case i+1 overlaps device
     compute of case i."""
 
-    def __init__(self, apply_fn, config, patch_batch: int = 96):
+    def __init__(self, apply_fn, config, patch_batch: int = 96, transfer_dtype=None):
         self.apply_fn = apply_fn
         self.cfg = config
         self.patch_size = tuple(config.data.patch_size)
         self.patch_batch = patch_batch
         self.z_bucket = config.tpu.z_bucket
         self.imp_map = jnp.asarray(gaussian_importance_map(self.patch_size))
+        # bf16 halves the volume UPLOAD (the model computes in bf16 anyway, so
+        # the prob map loses <0.5% relative).  The host downcast is a 9 ms
+        # vectorized pass; the result still comes back float32 because the
+        # reverse (bf16->f32) cast costs ~400 ms on a 1-core host while the
+        # on-device cast is free.
+        name = transfer_dtype or getattr(config.tpu, "transfer_dtype", "bfloat16")
+        self.transfer_dtype = jnp.bfloat16 if str(name) == "bfloat16" else jnp.float32
 
     def dispatch(self, params, image: np.ndarray):
         cfg = self.cfg
@@ -158,10 +179,15 @@ class FusedVolumePipeline:
         )
         shape = image.shape
         pshape = bucketed_shape(shape, self.patch_size, self.z_bucket)
-        padded = np.zeros(pshape, np.float32)
+        if self.transfer_dtype == jnp.bfloat16:
+            import ml_dtypes  # ships with jax
+
+            host_dtype = ml_dtypes.bfloat16
+        else:
+            host_dtype = np.float32
+        # single pass: numpy casts during the assignment into the padded buffer
+        padded = np.zeros(pshape, host_dtype)
         padded[tuple(slice(0, s) for s in shape)] = image
-        valid = np.zeros(pshape, np.float32)
-        valid[tuple(slice(0, s) for s in shape)] = 1.0
 
         positions = compute_positions(shape, self.patch_size, 0.5)
         n = len(positions)
@@ -175,7 +201,7 @@ class FusedVolumePipeline:
         rng = cfg.data.intensity.normalization_range
         bm = cfg.data.body_mask
         out = _preprocess_and_infer_jit(
-            params, jnp.asarray(padded), jnp.asarray(valid),
+            params, jnp.asarray(padded), jnp.asarray(np.array(shape, np.int32)),
             jnp.float32(lo), jnp.float32(hi), jnp.asarray(posp), jnp.asarray(pmask),
             self.imp_map,
             apply_fn=self.apply_fn, patch_size=self.patch_size, chunk=chunk,
@@ -183,6 +209,7 @@ class FusedVolumePipeline:
             threshold=float(bm.threshold), closing_voxels=int(bm.closing_voxels),
             keep_largest=bool(bm.keep_largest_component), dilate_voxels=int(bm.dilate_voxels),
             apply_mask=bool(bm.enabled and bm.apply_to_inference),
+            out_dtype=jnp.float32,
         )
         return out, shape
 

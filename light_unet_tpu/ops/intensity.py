@@ -49,16 +49,23 @@ def clip_normalize_device(volume, valid, lo, hi, *, range_min: float, range_max:
     return normalized * valid
 
 
-def pad_to_bucket(volume: np.ndarray, z_bucket: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(padded, valid) float32 pair with Z rounded up to the bucket."""
+def pad_volume(volume: np.ndarray, z_bucket: int) -> np.ndarray:
+    """Zero-pad Z up to the bucket (validity is derived on device from the
+    true extents — see ``ops.fused._valid_mask`` — so no host mask is built)."""
     shape = volume.shape
     pshape = list(shape)
     if z_bucket > 1 and volume.ndim == 3:
         pshape[2] = ((shape[2] + z_bucket - 1) // z_bucket) * z_bucket
     padded = np.zeros(pshape, dtype=np.float32)
     padded[tuple(slice(0, s) for s in shape)] = volume
-    valid = np.zeros(pshape, dtype=np.float32)
-    valid[tuple(slice(0, s) for s in shape)] = 1.0
+    return padded
+
+
+def pad_to_bucket(volume: np.ndarray, z_bucket: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(padded, valid) float32 pair with Z rounded up to the bucket."""
+    padded = pad_volume(volume, z_bucket)
+    valid = np.zeros(padded.shape, dtype=np.float32)
+    valid[tuple(slice(0, s) for s in volume.shape)] = 1.0
     return padded, valid
 
 

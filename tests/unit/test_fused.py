@@ -56,7 +56,7 @@ def test_fused_pipeline_matches_stage_chain(phantom):
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
     apply_fn = lambda p, x: model.apply(p, x)
 
-    pipe = FusedVolumePipeline(apply_fn, cfg, patch_batch=8)
+    pipe = FusedVolumePipeline(apply_fn, cfg, patch_batch=8, transfer_dtype="float32")
     fused = pipe(params, phantom)
 
     norm, _ = clip_and_normalize(phantom, 0.5, 99.5, (0, 1), z_bucket=16)
@@ -65,6 +65,15 @@ def test_fused_pipeline_matches_stage_chain(phantom):
     unfused = sw(params, norm) * mask
 
     np.testing.assert_allclose(fused, unfused, atol=1e-5)
+
+    # the config default is exact float32 transfer
+    assert FusedVolumePipeline(apply_fn, cfg, patch_batch=8).transfer_dtype == jnp.float32
+    # opt-in bf16 upload (serving mode) trades <=2% prob-map deviation for
+    # half the host->device traffic
+    pipe_bf16 = FusedVolumePipeline(apply_fn, cfg, patch_batch=8, transfer_dtype="bfloat16")
+    fused_bf16 = pipe_bf16(params, phantom)
+    assert fused_bf16.dtype == np.float32
+    np.testing.assert_allclose(fused_bf16, unfused, atol=2e-2)
 
 
 def test_fused_pipeline_async_dispatch(phantom):
