@@ -55,11 +55,11 @@ def bench_tpu(tmpdir: Path, ids) -> dict:
     cfg = Config()
     model = build_model(cfg.model, compute_dtype=jnp.bfloat16, inference=True)
     params = jax.device_put(init_params(model, jax.random.PRNGKey(0), PATCH))
+    # NB: transfer_dtype stays float32 — measured on the tunneled runtime,
+    # bf16 host buffers take a slow conversion path (341 ms vs 45 ms for the
+    # same volume in f32), so halving the bytes loses 7x on the transfer.
     pipe = FusedVolumePipeline(
-        lambda p, x: model.apply(p, x, train=False),
-        cfg,
-        patch_batch=cfg.tpu.patch_batch,
-        transfer_dtype="bfloat16",  # serving mode: half the upload traffic
+        lambda p, x: model.apply(p, x, train=False), cfg, patch_batch=cfg.tpu.patch_batch
     )
     paths = [tmpdir / "images" / f"{cid}_0000.nii.gz" for cid in ids]
 

@@ -163,11 +163,11 @@ class FusedVolumePipeline:
         self.patch_batch = patch_batch
         self.z_bucket = config.tpu.z_bucket
         self.imp_map = jnp.asarray(gaussian_importance_map(self.patch_size))
-        # bf16 halves the volume UPLOAD (the model computes in bf16 anyway, so
-        # the prob map loses <0.5% relative).  The host downcast is a 9 ms
-        # vectorized pass; the result still comes back float32 because the
-        # reverse (bf16->f32) cast costs ~400 ms on a 1-core host while the
-        # on-device cast is free.
+        # bf16 upload halves the bytes but is NOT the default: besides the
+        # <=2% prob-map deviation, the tunneled TPU runtime has no fast bf16
+        # host-buffer path (measured 341 ms vs 45 ms for the same volume in
+        # f32).  Results always come back float32 (on-device cast is free;
+        # a host-side bf16->f32 cast costs ~400 ms on one core).
         name = transfer_dtype or getattr(config.tpu, "transfer_dtype", "bfloat16")
         self.transfer_dtype = jnp.bfloat16 if str(name) == "bfloat16" else jnp.float32
 
