@@ -98,7 +98,10 @@ class Inferencer:
 
         compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.tpu.compute_dtype]
         precision = "highest" if cfg.tpu.compute_dtype == "float32" else None
-        self.model = build_model(cfg.model, compute_dtype, inference=True, precision=precision)
+        self.model = build_model(
+            cfg.model, compute_dtype, inference=True, precision=precision,
+            use_pallas=cfg.tpu.use_pallas,
+        )
         template = init_params(self.model, jax.random.PRNGKey(0), tuple(cfg.data.patch_size))
         arrays, meta = load_checkpoint(model_path, {"params": template})
         self.params = jax.device_put(arrays["params"])

@@ -95,7 +95,9 @@ class Trainer:
         # --- model / loss / optimizer -----------------------------------
         compute_dtype = _dtype_from_name(cfg.tpu.compute_dtype)
         precision = "highest" if cfg.tpu.compute_dtype == "float32" else None
-        self.model = build_model(cfg.model, compute_dtype, precision=precision)
+        self.model = build_model(
+            cfg.model, compute_dtype, precision=precision, use_pallas=cfg.tpu.use_pallas
+        )
         self.eval_model = self.model  # dropout disabled via train=False
         self.rng, init_key = jax.random.split(self.rng)
         self.params = init_params(self.model, init_key, tuple(cfg.data.patch_size))

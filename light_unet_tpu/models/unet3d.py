@@ -35,20 +35,35 @@ class InstanceNorm(nn.Module):
     Matches torch ``InstanceNorm3d(C, affine=True)``: per-sample, per-channel
     mean/variance (biased) over the spatial volume, eps 1e-5.  Statistics are
     computed in float32 regardless of compute dtype.
+
+    Call-time flags: ``use_pallas`` routes through the fused single-HBM-pass
+    Pallas kernel (inference only — it has no VJP), optionally folding the
+    following LeakyReLU in via ``fuse_leaky`` (the kernel with slope=1 is a
+    plain InstanceNorm).  The parameter tree is identical either way.
     """
 
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_pallas: bool = False, fuse_leaky: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if use_pallas:
+            from light_unet_tpu.ops.pallas_kernels import fused_instance_norm_leaky_relu
+
+            slope = LEAKY_SLOPE if fuse_leaky else 1.0
+            y = fused_instance_norm_leaky_relu(
+                x, scale, bias, eps=IN_EPS, negative_slope=slope
+            )
+            return y.astype(self.dtype)
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + IN_EPS)
         y = y * scale + bias
+        if fuse_leaky:
+            y = nn.leaky_relu(y, negative_slope=LEAKY_SLOPE)
         return y.astype(self.dtype)
 
 
@@ -97,6 +112,7 @@ class ResidualBlock(nn.Module):
     dropout_p: float = 0.1
     dtype: Any = jnp.float32
     precision: Any = None
+    use_pallas: bool = False
 
     def _conv(self, x, features: int, name: str):
         in_ch = x.shape[-1]
@@ -138,20 +154,24 @@ class ResidualBlock(nn.Module):
                 precision=self.precision,
                 name="shortcut_conv",
             )(x)
-            residual = InstanceNorm(dtype=self.dtype, name="shortcut_norm")(residual)
+            residual = InstanceNorm(dtype=self.dtype, name="shortcut_norm")(
+                residual, use_pallas=self.use_pallas and not train
+            )
         else:
             residual = x
 
+        pallas = self.use_pallas and not train  # the fused kernel has no VJP
         out = self._conv(x, self.features, "conv1")
-        out = InstanceNorm(dtype=self.dtype, name="norm1")(out)
-        out = _leaky_relu(out)
+        out = InstanceNorm(dtype=self.dtype, name="norm1")(
+            out, use_pallas=pallas, fuse_leaky=True
+        )
         if self.dropout_p > 0:
             # channel dropout (torch Dropout3d): drop whole channels per sample
             out = nn.Dropout(
                 rate=self.dropout_p, broadcast_dims=(1, 2, 3), deterministic=not train
             )(out)
         out = self._conv(out, self.features, "conv2")
-        out = InstanceNorm(dtype=self.dtype, name="norm2")(out)
+        out = InstanceNorm(dtype=self.dtype, name="norm2")(out, use_pallas=pallas)
         out = out + residual
         return _leaky_relu(out)
 
@@ -166,6 +186,7 @@ class DownBlock(nn.Module):
     dropout_p: float = 0.1
     dtype: Any = jnp.float32
     precision: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -178,6 +199,7 @@ class DownBlock(nn.Module):
             self.dropout_p,
             self.dtype,
             self.precision,
+            use_pallas=self.use_pallas,
             name="res_block",
         )(x, train=train)
 
@@ -192,6 +214,7 @@ class UpBlock(nn.Module):
     dropout_p: float = 0.1
     dtype: Any = jnp.float32
     precision: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, skip, *, train: bool = False):
@@ -222,6 +245,7 @@ class UpBlock(nn.Module):
             self.dropout_p,
             self.dtype,
             self.precision,
+            use_pallas=self.use_pallas,
             name="res_block",
         )(x, train=train)
 
@@ -242,6 +266,7 @@ class Lightweight3DUNet(nn.Module):
     dropout_p: float = 0.1
     dtype: Any = jnp.float32
     precision: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -253,6 +278,7 @@ class Lightweight3DUNet(nn.Module):
             dropout_p=self.dropout_p,
             dtype=self.dtype,
             precision=self.precision,
+            use_pallas=self.use_pallas,
         )
         x = x.astype(self.dtype)
         # first block never uses grouped conv (depthwise-separable still allowed)
@@ -278,7 +304,8 @@ class Lightweight3DUNet(nn.Module):
 
 
 def build_model(
-    model_cfg, compute_dtype=jnp.float32, inference: bool = False, precision=None
+    model_cfg, compute_dtype=jnp.float32, inference: bool = False, precision=None,
+    use_pallas: bool = False,
 ) -> Lightweight3DUNet:
     """Construct the model from a ``ModelConfig`` (same switches as the
     reference ctor at ``light_unet/core/trainer.py:57-66``).
@@ -298,6 +325,7 @@ def build_model(
         dropout_p=dropout,
         dtype=compute_dtype,
         precision=precision,
+        use_pallas=use_pallas,
     )
 
 
