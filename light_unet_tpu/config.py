@@ -336,6 +336,9 @@ class TpuConfig:
     use_pallas: bool = False
     z_bucket: int = 48  # pad volume Z to multiple (bounds recompiles)
     donate_state: bool = True
+    # when set, jax.profiler device traces of train/inference are written
+    # here (TensorBoard-loadable); LIGHT_UNET_PROFILE env var also works
+    profile_dir: Optional[str] = None
 
 
 @dataclass

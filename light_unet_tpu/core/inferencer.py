@@ -34,6 +34,7 @@ from light_unet_tpu.datasets.index import find_case_files, read_split_file
 from light_unet_tpu.models.metrics import get_connected_components
 from light_unet_tpu.models.unet3d import build_model, init_params
 from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
+from light_unet_tpu.parallel.mesh import mesh_from_config
 from light_unet_tpu.utils import fastio, nifti
 
 import jax
@@ -110,6 +111,9 @@ class Inferencer:
         if isinstance(meta.get("best_metric"), (int, float)):
             print(f"Best metric: {meta['best_metric']:.4f}")
 
+        # multi-chip: fan the patch grid out over all local devices (no-op
+        # on a single chip) — partial maps are psum-blended over ICI
+        mesh = mesh_from_config(cfg.tpu)
         self.sw = SlidingWindowInferencer(
             lambda p, x: self.model.apply(p, x, train=False),
             patch_size=tuple(cfg.data.patch_size),
@@ -117,6 +121,8 @@ class Inferencer:
             use_gaussian=True,
             patch_batch=cfg.tpu.patch_batch,
             z_bucket=cfg.tpu.z_bucket,
+            mesh=mesh,
+            data_axis=cfg.tpu.data_axis,
         )
 
         self.prob_maps_dir = Path(self._resolve(cfg.output.prob_maps_dir))
@@ -193,6 +199,12 @@ class Inferencer:
     def infer_split(self, split_file, data_dir) -> Dict:
         """Pipelined split inference: a worker thread decodes case i+1 while
         the device computes case i and the host post-processes case i-1."""
+        from light_unet_tpu.utils.tracing import maybe_profile
+
+        with maybe_profile(self.config.tpu.profile_dir):
+            return self._infer_split_impl(split_file, data_dir)
+
+    def _infer_split_impl(self, split_file, data_dir) -> Dict:
         from concurrent.futures import ThreadPoolExecutor
 
         case_ids = read_split_file(split_file)

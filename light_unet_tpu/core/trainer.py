@@ -421,6 +421,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self) -> Dict:
+        from light_unet_tpu.utils.tracing import maybe_profile
+
+        with maybe_profile(self.config.tpu.profile_dir):
+            return self._train_impl()
+
+    def _train_impl(self) -> Dict:
         cfg = self.config
         epochs = cfg.training.epochs
         early = cfg.training.early_stopping

@@ -89,35 +89,9 @@ def sliding_window_core(
     forward chunks (~96 patches/chunk keeps the MXU busy without scan
     overhead), then one fori scatter loop of in-place dynamic-update-slices.
     """
-    n = positions.shape[0]
-
-    def gather(p):
-        return lax.dynamic_slice(volume, (p[0], p[1], p[2]), patch_size)
-
-    patches = jax.vmap(gather)(positions)  # [n, pd, ph, pw]
-
-    def fwd_chunk(c):
-        return apply_fn(params, c[..., None])[..., 0].astype(jnp.float32)
-
-    preds = lax.map(fwd_chunk, patches.reshape(n // chunk, chunk, *patch_size))
-    preds = preds.reshape(n, *patch_size)
-    weights = imp_map[None] * mask[:, None, None, None]  # zero for dummy slots
-    weighted = preds * weights
-
-    prob = jnp.zeros(volume.shape, jnp.float32)
-    count = jnp.zeros(volume.shape, jnp.float32)
-
-    def scatter_one(i, acc):
-        prob, count = acc
-        p = positions[i]
-        idx = (p[0], p[1], p[2])
-        cur = lax.dynamic_slice(prob, idx, patch_size)
-        prob = lax.dynamic_update_slice(prob, cur + weighted[i], idx)
-        cur_c = lax.dynamic_slice(count, idx, patch_size)
-        count = lax.dynamic_update_slice(count, cur_c + weights[i], idx)
-        return prob, count
-
-    prob, count = lax.fori_loop(0, n, scatter_one, (prob, count))
+    prob, count = sliding_window_core_parts(
+        params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk
+    )
     return jnp.where(count > 0, prob / jnp.where(count > 0, count, 1.0), prob)
 
 
@@ -144,6 +118,86 @@ def _sliding_window_jit(
     return out
 
 
+def sliding_window_core_parts(
+    params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk,
+    init=None,
+):
+    """Like ``sliding_window_core`` but returns the raw (prob, count)
+    accumulators — the building block for the sharded multi-chip path
+    (which passes an ``init`` pair marked as mesh-varying)."""
+    n = positions.shape[0]
+
+    def gather(p):
+        return lax.dynamic_slice(volume, (p[0], p[1], p[2]), patch_size)
+
+    patches = jax.vmap(gather)(positions)
+
+    def fwd_chunk(c):
+        return apply_fn(params, c[..., None])[..., 0].astype(jnp.float32)
+
+    preds = lax.map(fwd_chunk, patches.reshape(n // chunk, chunk, *patch_size))
+    preds = preds.reshape(n, *patch_size)
+    weights = imp_map[None] * mask[:, None, None, None]
+    weighted = preds * weights
+
+    if init is None:
+        init = (
+            jnp.zeros(volume.shape, jnp.float32),
+            jnp.zeros(volume.shape, jnp.float32),
+        )
+    prob, count = init
+
+    def scatter_one(i, acc):
+        prob, count = acc
+        p = positions[i]
+        idx = (p[0], p[1], p[2])
+        cur = lax.dynamic_slice(prob, idx, patch_size)
+        prob = lax.dynamic_update_slice(prob, cur + weighted[i], idx)
+        cur_c = lax.dynamic_slice(count, idx, patch_size)
+        count = lax.dynamic_update_slice(count, cur_c + weights[i], idx)
+        return prob, count
+
+    return lax.fori_loop(0, n, scatter_one, (prob, count))
+
+
+def sliding_window_core_sharded(
+    params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk,
+    mesh, data_axis: str,
+):
+    """Multi-chip sliding window: the PATCH axis is sharded over the mesh.
+
+    Each device gathers its patch subset from the (replicated) volume, runs
+    the batched forwards, scatter-adds into a device-local accumulator pair,
+    and one ``psum`` over ICI blends the partial maps — the scaling-book
+    recipe (shard, compute locally, reduce) applied to the reference's
+    per-patch loop (``utils.py:86-118``)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    def per_device(params, volume, positions, mask, imp_map):
+        # accumulators differ per device -> mark them varying on the mesh axis
+        zero = jnp.zeros(volume.shape, jnp.float32)
+        init = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, (data_axis,), to="varying"), (zero, zero)
+        )
+        prob, count = sliding_window_core_parts(
+            params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk,
+            init=init,
+        )
+        prob = lax.psum(prob, data_axis)
+        count = lax.psum(count, data_axis)
+        return jnp.where(count > 0, prob / jnp.where(count > 0, count, 1.0), prob)
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis), P(data_axis), P()),
+        out_specs=P(),
+    )
+    return fn(params, volume, positions, mask, imp_map)
+
+
 def choose_chunk(n_patches: int, patch_batch: int) -> int:
     """Forward-chunk size for ``n_patches`` real patches: the smallest
     power-of-two bucket (>=8) that covers them, capped at ``patch_batch``.
@@ -168,6 +222,8 @@ class SlidingWindowInferencer:
         use_gaussian: bool = True,
         patch_batch: int = 32,
         z_bucket: int = 48,
+        mesh=None,
+        data_axis: str = "data",
     ):
         self.apply_fn = apply_fn
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -178,6 +234,25 @@ class SlidingWindowInferencer:
             self.imp_map = gaussian_importance_map(self.patch_size)
         else:
             self.imp_map = np.ones(self.patch_size, dtype=np.float32)
+
+        # optional multi-chip fan-out: patch axis sharded over the mesh
+        self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        self.mesh = mesh if self.n_devices > 1 else None
+        self.data_axis = data_axis
+        if self.mesh is not None:
+            def _sharded(params, volume, positions, mask, imp_map, post_mask,
+                         *, chunk: int, use_post_mask: bool):
+                out = sliding_window_core_sharded(
+                    params, volume, positions, mask, imp_map,
+                    self.apply_fn, self.patch_size, chunk, self.mesh, self.data_axis,
+                )
+                if use_post_mask:
+                    out = out * post_mask
+                return out
+
+            self._sharded_jit = jax.jit(
+                _sharded, static_argnames=("chunk", "use_post_mask")
+            )
 
     def dispatch(self, params, volume: np.ndarray, post_mask: Optional[np.ndarray] = None):
         """Start the device computation and return (device_array, orig_shape)
@@ -193,8 +268,8 @@ class SlidingWindowInferencer:
 
         positions = compute_positions(shape, self.patch_size, self.overlap)
         n = positions.shape[0]
-        chunk = choose_chunk(n, self.patch_batch)
-        n_pad = _round_up(max(n, 1), chunk)
+        chunk = choose_chunk(max(1, n // self.n_devices), self.patch_batch)
+        n_pad = _round_up(max(n, 1), chunk * self.n_devices)
         pos_padded = np.zeros((n_pad, 3), dtype=np.int32)
         pos_padded[:n] = positions
         mask = np.zeros((n_pad,), dtype=np.float32)
@@ -211,18 +286,24 @@ class SlidingWindowInferencer:
         else:
             pm = np.zeros((1, 1, 1), dtype=np.float32)  # unused placeholder
 
-        out = _sliding_window_jit(
+        args = (
             params,
             jnp.asarray(vol_padded),
             jnp.asarray(pos_padded),
             jnp.asarray(mask),
             jnp.asarray(self.imp_map),
-            jnp.asarray(pm) if use_post_mask else jnp.asarray(pm),
-            apply_fn=self.apply_fn,
-            patch_size=self.patch_size,
-            chunk=chunk,
-            use_post_mask=use_post_mask,
+            jnp.asarray(pm),
         )
+        if self.mesh is not None:
+            out = self._sharded_jit(*args, chunk=chunk, use_post_mask=use_post_mask)
+        else:
+            out = _sliding_window_jit(
+                *args,
+                apply_fn=self.apply_fn,
+                patch_size=self.patch_size,
+                chunk=chunk,
+                use_post_mask=use_post_mask,
+            )
         return out, shape
 
     @staticmethod

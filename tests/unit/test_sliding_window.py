@@ -112,3 +112,28 @@ def test_4d_input_accepted(tiny, rng):
     volume = rng.random((1, 20, 20, 20)).astype(np.float32)
     sw = SlidingWindowInferencer(lambda p, x: model.apply(p, x), patch_size=(16, 16, 16), patch_batch=4)
     assert sw(params, volume).shape == (20, 20, 20)
+
+
+def test_sharded_matches_single_device(tiny, rng):
+    """Patch-axis shard_map over an 8-device mesh must reproduce the
+    single-device result (partial maps psum-blended over the mesh)."""
+    from light_unet_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    model, params = tiny
+    apply_fn = lambda p, x: model.apply(p, x)
+    vol = rng.random((40, 28, 34), dtype=np.float32)
+
+    single = SlidingWindowInferencer(apply_fn, (16, 16, 16), patch_batch=8, z_bucket=16)
+    mesh = create_mesh("data", jax.devices())
+    sharded = SlidingWindowInferencer(
+        apply_fn, (16, 16, 16), patch_batch=8, z_bucket=16, mesh=mesh
+    )
+    np.testing.assert_allclose(sharded(params, vol), single(params, vol), atol=1e-5)
+
+    # with a post-mask too
+    mask = (rng.random(vol.shape) > 0.5).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded(params, vol, post_mask=mask), single(params, vol) * mask, atol=1e-5
+    )
