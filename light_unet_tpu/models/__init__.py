@@ -17,3 +17,13 @@ from light_unet_tpu.models.metrics import (  # noqa: F401
     get_connected_components,
     match_components,
 )
+
+# Compatibility shim mirroring the reference's legacy re-exports
+# (light_unet/models/__init__.py:18-24 keeps dataset classes importable from
+# the models package for pre-refactor call sites).
+from light_unet_tpu.datasets import (  # noqa: F401, E402
+    CaseDataset,
+    MixedPatchDataset,
+    PatchDataset,
+    filter_cases_by_domain,
+)

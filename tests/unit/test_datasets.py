@@ -194,3 +194,17 @@ def test_volume_cache_lru(case_tree):
     a = cache.get(paths[2])
     b = cache.get(paths[2])
     assert a is b  # cached object identity
+
+
+def test_reference_compatible_aliases():
+    """The reference's class names and legacy models-package re-exports
+    (light_unet/models/__init__.py:18-24) must keep working."""
+    from light_unet_tpu.datasets import CaseDataset, MixedPatchDataset, PatchDataset
+    from light_unet_tpu.datasets.patch_sampler import MixedPatchSampler, PatchSampler
+    from light_unet_tpu import models
+
+    assert PatchDataset is PatchSampler
+    assert MixedPatchDataset is MixedPatchSampler
+    assert models.PatchDataset is PatchSampler
+    assert models.CaseDataset is CaseDataset
+    assert callable(models.filter_cases_by_domain)
