@@ -225,13 +225,17 @@ class Trainer:
     def _set_lr(self, lr: float) -> None:
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
-    def _step_on_batch(self, images: np.ndarray, labels: np.ndarray) -> float:
+    def _step_on_batch(self, images: np.ndarray, labels: np.ndarray):
+        """One jitted train step.  Returns the loss as an UN-synchronized
+        device scalar — fetching it would block the dispatch pipeline (the
+        reference syncs every step via ``loss.item()``, trainer.py:234; here
+        callers batch the sync at log points / epoch end)."""
         self.rng, step_key = jax.random.split(self.rng)
         batch = shard_batch((images, labels), self.mesh, self.config.tpu.data_axis)
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, batch[0], batch[1], step_key
         )
-        return float(loss)
+        return loss
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> float:
@@ -241,24 +245,27 @@ class Trainer:
         if self.mode == "probabilistic" and self.train_dataset is not None:
             self.train_dataset.reset_sample_counts()
 
-        total_loss, num_batches = 0.0, 0
+        device_losses = []  # synced in bulk at log points, not per step
         n_total = len(self.train_loader)
         log_every = max(1, n_total // 5)
         t0 = time.time()
         for images, labels in self.train_loader:
-            loss = self._step_on_batch(images, labels)
-            total_loss += loss
-            num_batches += 1
-            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
-            self._global_step += 1
+            device_losses.append(self._step_on_batch(images, labels))
+            num_batches = len(device_losses)
             if num_batches % log_every == 0 or num_batches == n_total:
                 rate = num_batches / max(time.time() - t0, 1e-9)
+                avg = float(jnp.mean(jnp.stack(device_losses)))
                 print(
                     f"  epoch {epoch + 1} step {num_batches}/{n_total} "
-                    f"loss {total_loss / num_batches:.4f} ({rate:.2f} steps/s)",
+                    f"loss {avg:.4f} ({rate:.2f} steps/s)",
                     flush=True,
                 )
-        avg_loss = total_loss / max(num_batches, 1)
+        losses = [float(l) for l in device_losses]  # one bulk sync
+        for loss in losses:
+            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+            self._global_step += 1
+        num_batches = len(losses)
+        avg_loss = sum(losses) / max(num_batches, 1)
 
         if self.mode == "probabilistic" and self.train_dataset is not None:
             counts = self.train_dataset.get_sample_counts()
@@ -279,16 +286,11 @@ class Trainer:
             else round(fl_batches * mixed.dlbcl_steps_ratio)
         )
 
-        fl_total, fl_steps = 0.0, 0
+        fl_losses = []
         for images, labels in self.fl_loader:
-            loss = self._step_on_batch(images, labels)
-            fl_total += loss
-            fl_steps += 1
-            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
-            self.writer.add_scalar("Loss/fl_step", loss, self._global_step)
-            self._global_step += 1
+            fl_losses.append(self._step_on_batch(images, labels))
 
-        dlbcl_total, dlbcl_done = 0.0, 0
+        dlbcl_losses = []
         if dlbcl_steps > 0:
             it = iter(self.dlbcl_loader)
             for _ in range(dlbcl_steps):
@@ -297,13 +299,22 @@ class Trainer:
                 except StopIteration:
                     it = iter(self.dlbcl_loader)
                     images, labels = next(it)
-                loss = self._step_on_batch(images, labels)
-                dlbcl_total += loss
-                dlbcl_done += 1
-                self.writer.add_scalar("Loss/train_step", loss, self._global_step)
-                self.writer.add_scalar("Loss/dlbcl_step", loss, self._global_step)
-                self._global_step += 1
+                dlbcl_losses.append(self._step_on_batch(images, labels))
 
+        # one bulk sync for the whole epoch, then per-step TB scalars
+        fl_vals = [float(l) for l in fl_losses]
+        dlbcl_vals = [float(l) for l in dlbcl_losses]
+        for loss in fl_vals:
+            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+            self.writer.add_scalar("Loss/fl_step", loss, self._global_step)
+            self._global_step += 1
+        for loss in dlbcl_vals:
+            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+            self.writer.add_scalar("Loss/dlbcl_step", loss, self._global_step)
+            self._global_step += 1
+
+        fl_total, fl_steps = sum(fl_vals), len(fl_vals)
+        dlbcl_total, dlbcl_done = sum(dlbcl_vals), len(dlbcl_vals)
         total_steps = fl_steps + dlbcl_done
         fl_avg = fl_total / fl_steps if fl_steps else 0.0
         dlbcl_avg = dlbcl_total / dlbcl_done if dlbcl_done else 0.0
