@@ -52,11 +52,24 @@ def save_checkpoint(path, arrays: Dict[str, Any], meta: Dict[str, Any]) -> None:
 def load_checkpoint(path, arrays_template: Optional[Dict[str, Any]] = None) -> Tuple[Dict, Dict]:
     """Read back (arrays, meta).  With ``arrays_template`` the pytree is
     restored onto the template's structure/dtypes (flax from_state_dict);
-    without it, raw nested dicts/lists are returned."""
+    without it, raw nested dicts/lists are returned.
+
+    Also accepts a reference-trained torch ``.pth`` checkpoint
+    (``best_model.pth`` with a ``model_state_dict``,
+    ``light_unet/core/trainer.py:447-459``) — weights are ported to the flax
+    layout on the fly, so a user migrating from the reference can point the
+    inferencer straight at their existing model file."""
     path = Path(path)
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
+            from light_unet_tpu.tools.port_torch import (
+                is_torch_checkpoint,
+                load_torch_checkpoint,
+            )
+
+            if is_torch_checkpoint(path):
+                return load_torch_checkpoint(path, arrays_template)
             raise ValueError(f"{path} is not a light_unet_tpu checkpoint")
         (hlen,) = struct.unpack("<Q", f.read(8))
         meta = json.loads(f.read(hlen).decode("utf-8"))
@@ -69,15 +82,25 @@ def load_checkpoint(path, arrays_template: Optional[Dict[str, Any]] = None) -> T
     return arrays, meta
 
 
+def _epoch_key(path: Path) -> Tuple[int, str]:
+    """Numeric sort key: lexicographic glob order breaks past epoch 999
+    (``checkpoint_epoch_1000`` sorts before ``..._999``)."""
+    stem = path.stem
+    try:
+        return (int(stem.rsplit("_", 1)[1]), stem)
+    except (IndexError, ValueError):
+        return (-1, stem)
+
+
 def rotate_checkpoints(checkpoint_dir, keep_last_n: int, pattern: str = "checkpoint_epoch_*.ckpt") -> None:
     """Delete all but the newest ``keep_last_n`` periodic checkpoints
     (reference ``_cleanup_checkpoints``, ``trainer.py:472-477``)."""
     checkpoint_dir = Path(checkpoint_dir)
-    ckpts = sorted(checkpoint_dir.glob(pattern))
+    ckpts = sorted(checkpoint_dir.glob(pattern), key=_epoch_key)
     for old in ckpts[:-keep_last_n] if keep_last_n > 0 else ckpts:
         old.unlink()
 
 
 def latest_checkpoint(checkpoint_dir, pattern: str = "checkpoint_epoch_*.ckpt") -> Optional[Path]:
-    ckpts = sorted(Path(checkpoint_dir).glob(pattern))
+    ckpts = sorted(Path(checkpoint_dir).glob(pattern), key=_epoch_key)
     return ckpts[-1] if ckpts else None

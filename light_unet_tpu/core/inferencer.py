@@ -214,9 +214,27 @@ class Inferencer:
         t0 = time.time()
         successful, failed = 0, []
 
+        def safe_load(cid):
+            # Decode failures (corrupt file, bad header) must stay per-case:
+            # an exception raised inside pool.map would abort the whole split.
+            try:
+                return self._load_case_inputs(cid, data_dir)
+            except Exception as e:  # noqa: BLE001 - per-case isolation
+                print(f"Error loading inputs for {cid}: {e}")
+                return None
+
+        def finalize(case_id, inputs, dispatched):
+            nonlocal successful
+            try:
+                if self._finalize_case(case_id, inputs, dispatched, threshold):
+                    successful += 1
+            except Exception as e:  # noqa: BLE001 - per-case isolation
+                print(f"Error finalizing {case_id}: {e}")
+                failed.append(case_id)
+
         pending = None  # (case_id, inputs, dispatched)
         with ThreadPoolExecutor(max_workers=2) as pool:
-            decoded = pool.map(lambda cid: self._load_case_inputs(cid, data_dir), case_ids)
+            decoded = pool.map(safe_load, case_ids)
             for case_id, inputs in zip(case_ids, decoded):
                 if inputs is None:
                     failed.append(case_id)
@@ -230,16 +248,10 @@ class Inferencer:
                     failed.append(case_id)
                     continue
                 if pending is not None:
-                    if self._finalize_case(*pending, threshold):
-                        successful += 1
+                    finalize(*pending)
                 pending = (case_id, inputs, dispatched)
             if pending is not None:
-                try:
-                    if self._finalize_case(*pending, threshold):
-                        successful += 1
-                except Exception as e:  # noqa: BLE001
-                    print(f"Error finalizing {pending[0]}: {e}")
-                    failed.append(pending[0])
+                finalize(*pending)
 
         dt = time.time() - t0
         if dt > 0:

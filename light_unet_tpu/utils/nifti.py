@@ -216,6 +216,13 @@ class Nifti1Image:
         hdr.datatype = _DTYPE_CODES[dt]
         hdr.bitpix = dt.itemsize * 8
         hdr.vox_offset = DEFAULT_VOX_OFFSET
+        # Adopting data from an in-memory array: the array values ARE the data,
+        # so any scl scaling inherited from a donor header must be dropped —
+        # otherwise a later load() re-applies the source file's slope/inter to
+        # already-scaled values (nibabel resets scaling the same way when an
+        # image is built from an array).
+        hdr.scl_slope = 1.0
+        hdr.scl_inter = 0.0
 
         if affine is not None:
             affine = np.asarray(affine, dtype=np.float64)
@@ -254,9 +261,13 @@ class Nifti1Image:
         out = self._data.astype(dtype)
         slope = self._header.scl_slope
         inter = self._header.scl_inter
-        if slope not in (0.0, 1.0) or inter != 0.0:
-            if slope == 0.0:
-                slope = 1.0
+        # nibabel semantics: slope of 0 or NaN means "no scaling"; a non-finite
+        # inter likewise must not poison the volume with NaNs.
+        if not np.isfinite(slope) or slope == 0.0:
+            slope = 1.0
+        if not np.isfinite(inter):
+            inter = 0.0
+        if slope != 1.0 or inter != 0.0:
             out = out * slope + inter
         return out
 

@@ -12,6 +12,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC fastio.cpp -o libfastio.so -lz -lpthread
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -147,7 +148,27 @@ int parse_header(const uint8_t* hdr, HeaderInfo* info) {
 // Decode one NIfTI file (optionally gzipped) into a caller-provided f32
 // buffer of capacity cap_voxels.  Writes the header into hdr348 (if not
 // null).  Returns voxel count or negative error.
-int64_t decode_one(const char* path, float* dst, int64_t cap_voxels, uint8_t* hdr348) {
+// Validate dim[]/vox_offset from an (untrusted) header.  Returns the voxel
+// count, or a negative error if dims are out of range / would overflow.
+// cap_voxels bounds the product so a hostile header can't drive a petabyte
+// allocation.
+int64_t checked_voxel_count(const HeaderInfo& info, int64_t cap_voxels) {
+  int ndim = info.dim[0];
+  if (ndim < 1 || ndim > 7) return kErrHeader;
+  int64_t n = 1;
+  for (int d = 1; d <= ndim; ++d) {
+    int64_t dv = info.dim[d];
+    if (dv < 1) return kErrHeader;
+    n *= dv;
+    if (n > cap_voxels) return kErrAlloc;
+  }
+  if (!std::isfinite(info.vox_offset) || info.vox_offset < kHeaderSize ||
+      info.vox_offset > (1 << 20))
+    return kErrHeader;
+  return n;
+}
+
+int64_t decode_one(const char* path, float* dst, int64_t cap_voxels, uint8_t* hdr348) try {
   std::vector<uint8_t> file;
   int rc = read_file(path, file);
   if (rc != kOk) return rc;
@@ -164,8 +185,8 @@ int64_t decode_one(const char* path, float* dst, int64_t cap_voxels, uint8_t* hd
     if (parse_header(hdr, &info) != kOk) return kErrHeader;
     int isz = dtype_itemsize(info.datatype);
     if (!isz) return kErrDtype;
-    int64_t n = 1;
-    for (int d = 1; d <= info.dim[0]; ++d) n *= info.dim[d];
+    int64_t n = checked_voxel_count(info, cap_voxels);
+    if (n < 0) return n;
     size_t total = static_cast<size_t>(info.vox_offset) + static_cast<size_t>(n) * isz;
     plain.resize(total);
     long got2 = inflate_prefix(file.data(), file.size(), plain.data(), total);
@@ -180,18 +201,22 @@ int64_t decode_one(const char* path, float* dst, int64_t cap_voxels, uint8_t* hd
   if (hdr348) std::memcpy(hdr348, data, kHeaderSize);
   int isz = dtype_itemsize(info.datatype);
   if (!isz) return kErrDtype;
-  int64_t n = 1;
-  for (int d = 1; d <= info.dim[0]; ++d) n *= info.dim[d];
-  if (n > cap_voxels) return kErrAlloc;
+  int64_t n = checked_voxel_count(info, cap_voxels);
+  if (n < 0) return n;
   size_t offset = static_cast<size_t>(info.vox_offset);
   if (data_len < offset + static_cast<size_t>(n) * isz) return kErrShort;
 
   float slope = info.scl_slope;
   float inter = info.scl_inter;
-  if (slope == 0.0f) slope = 1.0f;
+  // nibabel semantics: slope 0/NaN means no scaling; non-finite inter is 0.
+  if (!std::isfinite(slope) || slope == 0.0f) slope = 1.0f;
+  if (!std::isfinite(inter)) inter = 0.0f;
   rc = convert(info.datatype, data + offset, dst, n, slope, inter);
   if (rc != kOk) return rc;
   return n;
+} catch (...) {
+  // std::bad_alloc etc. must not cross the extern-C boundary.
+  return kErrAlloc;
 }
 
 }  // namespace

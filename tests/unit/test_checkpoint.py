@@ -74,3 +74,19 @@ def test_load_without_template_returns_raw(tmp_path):
     arrays, _ = load_checkpoint(tmp_path / "x.ckpt")
     assert isinstance(arrays, dict)
     np.testing.assert_array_equal(arrays["params"]["w"], np.asarray(params["w"]))
+
+
+def test_rotation_numeric_past_epoch_999(tmp_path):
+    """ADVICE r1: rotation must sort numerically — lexicographic order puts
+    checkpoint_epoch_1000 before ..._999 and deletes the newest files."""
+    params, _, _ = _small_state()
+    for epoch in (998, 999, 1000, 1001):
+        save_checkpoint(
+            tmp_path / f"checkpoint_epoch_{epoch:03d}.ckpt",
+            {"params": params},
+            {"epoch": epoch},
+        )
+    rotate_checkpoints(tmp_path, keep_last_n=2)
+    remaining = sorted(p.name for p in tmp_path.glob("checkpoint_epoch_*.ckpt"))
+    assert remaining == ["checkpoint_epoch_1000.ckpt", "checkpoint_epoch_1001.ckpt"]
+    assert latest_checkpoint(tmp_path).name == "checkpoint_epoch_1001.ckpt"

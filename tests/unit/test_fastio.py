@@ -75,3 +75,48 @@ def test_fortran_order_matches(tmp_path, lib_available):
     nifti.save(nifti.Nifti1Image(data, np.eye(4)), path)
     arr, _ = fastio.load_f32(path)
     np.testing.assert_array_equal(arr, data)
+
+
+def test_nan_slope_no_scaling_native(tmp_path, lib_available):
+    """ADVICE r1: native decode must treat NaN slope/inter as 1.0/0.0."""
+    import struct
+
+    data = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    path = tmp_path / "nan.nii"
+    nifti.save(nifti.Nifti1Image(data, np.eye(4)), path)
+    buf = bytearray(path.read_bytes())
+    struct.pack_into("<2f", buf, 112, float("nan"), float("nan"))
+    path.write_bytes(bytes(buf))
+    arr, _ = fastio.load_f32(path)
+    assert np.isfinite(arr).all()
+    np.testing.assert_array_equal(arr, data)
+
+
+def test_hostile_header_dims_do_not_crash(tmp_path, lib_available):
+    """ADVICE r1: a corrupt/hostile header claiming petabyte dims must come
+    back as a negative error code, not std::terminate the process."""
+    import ctypes
+    import gzip
+    import struct
+
+    data = np.zeros((2, 2, 2), dtype=np.float32)
+    path = tmp_path / "hostile.nii.gz"
+    nifti.save(nifti.Nifti1Image(data, np.eye(4)), path)
+    # rewrite dims to 7 x int16-max and negative, re-gzip
+    with gzip.open(path, "rb") as f:
+        buf = bytearray(f.read())
+    struct.pack_into("<8h", buf, 40, 7, 32767, 32767, 32767, 32767, 32767, 32767, 32767)
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(buf))
+    lib = fastio._load()
+    out = np.empty(64, dtype=np.float32)
+    hbuf = (ctypes.c_uint8 * nifti.HEADER_SIZE)()
+    rc = lib.fastio_decode(str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), 64, hbuf)
+    assert rc < 0  # clean error, process alive
+
+    # negative dims likewise
+    struct.pack_into("<8h", buf, 40, 3, -5, 4, 4, 1, 1, 1, 1)
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(buf))
+    rc = lib.fastio_decode(str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), 64, hbuf)
+    assert rc < 0

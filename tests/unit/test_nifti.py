@@ -94,3 +94,43 @@ def test_gzip_output_is_gzip(tmp_path):
         buf = f.read()
     assert struct.unpack_from("<i", buf, 0)[0] == 348
     assert buf[344:347] == b"n+1"
+
+
+def test_save_from_array_resets_source_scaling(tmp_path):
+    """ADVICE r1 (high): building an image from an in-memory array must drop
+    scl_slope/scl_inter inherited from a donor header, or every reload
+    re-applies the raw file's scaling to already-scaled data."""
+    # source file: int16 stored, slope 0.01 / inter 5.0
+    raw = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    src_img = nifti.Nifti1Image(raw, np.diag([4.0, 4.0, 4.0, 1.0]))
+    src_img.header.scl_slope = 0.01
+    src_img.header.scl_inter = 5.0
+    src_path = tmp_path / "src.nii.gz"
+    nifti.save(src_img, src_path)
+
+    src = nifti.load(src_path)
+    scaled = src.get_fdata(np.float32)  # values in [5.0, 5.07]
+    normalized = (scaled - scaled.min()) / (scaled.max() - scaled.min())
+
+    # preprocess-style save: normalized array + the ORIGINAL header
+    out_path = tmp_path / "norm.nii.gz"
+    nifti.save(nifti.Nifti1Image(normalized.astype(np.float32), src.affine, src.header), out_path)
+
+    back = nifti.load(out_path)
+    assert back.header.scl_slope in (0.0, 1.0)
+    assert back.header.scl_inter == 0.0
+    np.testing.assert_allclose(back.get_fdata(np.float32), normalized, rtol=1e-6)
+
+
+def test_nan_slope_means_no_scaling(tmp_path):
+    """nibabel treats scl_slope=NaN as 'no scaling'; it must not NaN-flood."""
+    data = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    img = nifti.Nifti1Image(data, np.eye(4))
+    path = tmp_path / "nan.nii"
+    nifti.save(img, path)
+    # poke NaN slope/inter directly into the saved header bytes
+    buf = bytearray(path.read_bytes())
+    struct.pack_into("<2f", buf, 112, float("nan"), float("nan"))
+    path.write_bytes(bytes(buf))
+    out = nifti.load(path).get_fdata(np.float32)
+    np.testing.assert_array_equal(out, data)
