@@ -37,17 +37,31 @@ Examples:
         choices=["all", "split", "preprocess", "train", "inference", "evaluate", "bench"],
         help="Execution mode",
     )
+    # Aliases keep the reference stage scripts' exact argparse surfaces
+    # working (scripts/train.py:26-35, scripts/inference.py:19-34,
+    # scripts/evaluate.py:224-237, scripts/preprocess_data.py:362-374,
+    # scripts/split_dataset.py:157-171 in the reference):
+    #   --raw_dir == --data_root, --data_dir == --processed_dir,
+    #   --model == --model_path, plus --prob_maps_dir / --output_dir /
+    #   --train_ratio / --val_ratio / --test_ratio below.
     parser.add_argument("--config", type=str, default="configs/unet_fl70.yaml")
-    parser.add_argument("--data_root", type=str, default="data/raw")
-    parser.add_argument("--processed_dir", type=str, default="data/processed")
+    parser.add_argument("--data_root", "--raw_dir", type=str, default="data/raw")
+    parser.add_argument("--processed_dir", "--data_dir", type=str, default="data/processed")
     parser.add_argument("--splits_dir", type=str, default="data/splits")
-    parser.add_argument("--model_path", type=str, default="models/best_model.pth")
+    parser.add_argument("--model_path", "--model", type=str, default="models/best_model.pth")
     parser.add_argument("--split_file", type=str, default=None,
                         help="Split list for inference/evaluate (default: val)")
     parser.add_argument("--case_id", type=str, default=None, help="Single case for inference")
     parser.add_argument("--threshold", type=float, default=None, help="Probability threshold override")
     parser.add_argument("--split", type=str, default="all",
                         choices=["train", "val", "test", "all"], help="Preprocess split selection")
+    parser.add_argument("--prob_maps_dir", type=str, default=None,
+                        help="Probability-map dir for evaluate (default: <workdir>/inference/prob_maps)")
+    parser.add_argument("--output_dir", type=str, default=None,
+                        help="Split-lists dir (split stage) or metrics dir (evaluate stage)")
+    parser.add_argument("--train_ratio", type=float, default=None)
+    parser.add_argument("--val_ratio", type=float, default=None)
+    parser.add_argument("--test_ratio", type=float, default=None)
     parser.add_argument("--allow_test", action="store_true",
                         help="Allow preprocessing the black-box test split")
     parser.add_argument("--skip_split", action="store_true")
@@ -109,10 +123,10 @@ def run(argv=None) -> int:
             sr = config.data.split_ratio
             split_dataset(
                 args.data_root,
-                args.splits_dir,
-                train_ratio=sr.train,
-                val_ratio=sr.val,
-                test_ratio=sr.test,
+                args.output_dir or args.splits_dir,
+                train_ratio=args.train_ratio if args.train_ratio is not None else sr.train,
+                val_ratio=args.val_ratio if args.val_ratio is not None else sr.val,
+                test_ratio=args.test_ratio if args.test_ratio is not None else sr.test,
                 seed=config.experiment.seed,
             )
         elif stage == "preprocess":
@@ -153,9 +167,9 @@ def run(argv=None) -> int:
             run_evaluate(
                 config,
                 default_split_file,
-                workdir / "inference/prob_maps",
+                args.prob_maps_dir or workdir / "inference/prob_maps",
                 args.processed_dir,
-                workdir / "inference",
+                args.output_dir or workdir / "inference",
             )
         elif stage == "bench":
             from bench import main as bench_main  # repo-root bench harness

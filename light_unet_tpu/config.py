@@ -327,6 +327,10 @@ class TpuConfig:
     patch_batch: int = 96  # patches per sliding-window forward chunk (MXU-profiled)
     data_axis: str = "data"  # mesh axis for data parallelism
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
+    # treat training.batch_size as PER-DEVICE: global batch = B x n_devices,
+    # so every chip carries a shard even at the reference's batch 2 (scale
+    # the learning rate for the larger global batch yourself)
+    batch_per_device: bool = False
     prefetch_depth: int = 3  # host loader prefetch queue depth
     cache_volumes: bool = True  # keep decoded volumes in host RAM
     # Fused Pallas InstanceNorm+LeakyReLU kernel (ops/pallas_kernels.py).

@@ -97,8 +97,13 @@ def _domains_dict(config) -> dict:
 
 
 def get_data_loader(data_dir, split_file, config, is_train: bool = True,
-                    cache: Optional[VolumeCache] = None) -> Dict:
-    """Main factory entry point (parity with ``loader.py:99-114``)."""
+                    cache: Optional[VolumeCache] = None,
+                    batch_size: Optional[int] = None) -> Dict:
+    """Main factory entry point (parity with ``loader.py:99-114``).
+
+    ``batch_size`` overrides ``config.training.batch_size`` (the trainer
+    passes the GLOBAL batch here when ``tpu.batch_per_device`` scales it by
+    the mesh size)."""
     if not is_train:
         mixed = config.training.mixed_domains
         bm = config.data.body_mask
@@ -117,7 +122,8 @@ def get_data_loader(data_dir, split_file, config, is_train: bool = True,
         return {"mode": "validation", "val_loader": dataset}
 
     params = _common_params(config, is_train)
-    batch_size = config.training.batch_size
+    if batch_size is None:
+        batch_size = config.training.batch_size
     lesion_ratio = config.training.class_balanced_sampling.lesion_patch_ratio
     prefetch = config.tpu.prefetch_depth
     mixed = config.training.mixed_domains

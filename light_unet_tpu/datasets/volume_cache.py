@@ -21,28 +21,34 @@ from light_unet_tpu.utils import fastio
 
 
 class VolumeCache:
-    """Thread-safe LRU cache: path -> float32 ndarray (decoded NIfTI)."""
+    """Thread-safe LRU cache: path -> (float32 ndarray, NIfTI header)."""
 
     def __init__(self, max_items: Optional[int] = None):
         self.max_items = max_items
-        self._store: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._store: "OrderedDict[str, tuple]" = OrderedDict()  # path -> (data, header)
         self._lock = threading.Lock()
 
-    def get(self, path: str, dtype=np.float32) -> np.ndarray:
+    def get_with_header(self, path: str, dtype=np.float32):
+        """(decoded volume, parsed header) — one native decode per path
+        (validation re-reads image headers for spacing every epoch; caching
+        the header avoids a second partial gunzip per case)."""
+        path = str(path)
         with self._lock:
             if path in self._store:
                 self._store.move_to_end(path)
-                return self._store[path]
-        data, _ = fastio.load_f32(path)  # native decode; python-codec fallback
-        if dtype != np.float32:
-            data = data.astype(dtype)
+                data, header = self._store[path]
+                return (data if dtype == np.float32 else data.astype(dtype)), header
+        data, header = fastio.load_f32(path)  # native decode; python-codec fallback
         with self._lock:
-            self._store[path] = data
+            self._store[path] = (data, header)
             self._store.move_to_end(path)
             if self.max_items is not None:
                 while len(self._store) > self.max_items:
                     self._store.popitem(last=False)
-        return data
+        return (data if dtype == np.float32 else data.astype(dtype)), header
+
+    def get(self, path: str, dtype=np.float32) -> np.ndarray:
+        return self.get_with_header(path, dtype)[0]
 
     def clear(self) -> None:
         with self._lock:

@@ -63,17 +63,42 @@ def replicate(tree, mesh: Optional[Mesh]):
 def mesh_from_config(tpu_cfg, batch_size: Optional[int] = None) -> Optional[Mesh]:
     """Build the mesh described by ``TpuConfig`` (None for a single device).
 
-    With ``batch_size`` given, the data axis is capped at the largest device
-    count that divides the global batch (parameters are replicated, so using
-    fewer devices is always safe)."""
+    With ``batch_size`` given and ``tpu_cfg.batch_per_device`` off, the data
+    axis is capped at the largest device count that divides the global batch
+    (parameters are replicated, so using fewer devices is always safe) — and
+    a loud warning is emitted when that drops devices, because at the
+    reference's batch 2 an 8-chip pod would silently idle 6 chips.  With
+    ``batch_per_device`` on, ``batch_size`` is per-device, the global batch
+    is ``batch_size * n_devices``, and every device always carries a shard.
+    """
     devices = jax.devices()
     if tpu_cfg.mesh_shape is not None:
         return create_mesh(tpu_cfg.data_axis, devices, tpu_cfg.mesh_shape)
     n = len(devices)
-    if batch_size is not None:
+    if batch_size is not None and not getattr(tpu_cfg, "batch_per_device", False):
         while n > 1 and batch_size % n != 0:
             n -= 1
+        if n < len(devices):
+            import warnings
+
+            warnings.warn(
+                f"global batch {batch_size} is not divisible by "
+                f"{len(devices)} devices; using only {n} "
+                f"({len(devices) - n} idle). Set tpu.batch_per_device: true "
+                f"to scale the global batch to batch_size x n_devices "
+                f"(remember to adjust the learning rate accordingly).",
+                stacklevel=2,
+            )
         devices = devices[:n]
     if n == 1:
         return None
     return create_mesh(tpu_cfg.data_axis, devices)
+
+
+def effective_batch_size(tpu_cfg, batch_size: int, mesh: Optional[Mesh]) -> int:
+    """Global batch: ``batch_size`` as-is, or ``batch_size * mesh size`` when
+    ``tpu_cfg.batch_per_device`` is set (LR note: with N devices this is an
+    N-fold larger global batch — scale the learning rate to taste)."""
+    if mesh is not None and getattr(tpu_cfg, "batch_per_device", False):
+        return int(batch_size) * int(np.prod(mesh.devices.shape))
+    return int(batch_size)
