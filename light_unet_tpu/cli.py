@@ -62,6 +62,10 @@ Examples:
     parser.add_argument("--train_ratio", type=float, default=None)
     parser.add_argument("--val_ratio", type=float, default=None)
     parser.add_argument("--test_ratio", type=float, default=None)
+    parser.add_argument("--no_prob_maps", action="store_true",
+                        help="Skip saving probability maps (bboxes only; the "
+                        "candidate table is extracted on device, so the prob "
+                        "map never crosses device->host)")
     parser.add_argument("--allow_test", action="store_true",
                         help="Allow preprocessing the black-box test split")
     parser.add_argument("--skip_split", action="store_true")
@@ -154,7 +158,10 @@ def run(argv=None) -> int:
             from light_unet_tpu.core.inferencer import Inferencer
 
             model_path = workdir / args.model_path if not Path(args.model_path).is_absolute() else Path(args.model_path)
-            inferencer = Inferencer(config, model_path, workdir=args.workdir)
+            inferencer = Inferencer(
+                config, model_path, workdir=args.workdir,
+                save_prob_maps=not args.no_prob_maps,
+            )
             if args.case_id:
                 inferencer.infer_case(
                     args.case_id, args.processed_dir, threshold=config.validation.default_threshold

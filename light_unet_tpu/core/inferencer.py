@@ -33,11 +33,14 @@ from light_unet_tpu.core.checkpoint import load_checkpoint
 from light_unet_tpu.datasets.index import find_case_files, read_split_file
 from light_unet_tpu.models.metrics import get_connected_components
 from light_unet_tpu.models.unet3d import build_model, init_params
+from light_unet_tpu.ops.components import bboxes_from_table, component_table_device
 from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
 from light_unet_tpu.parallel.mesh import mesh_from_config
 from light_unet_tpu.utils import fastio, nifti
 
 import jax
+
+MAX_DEVICE_COMPONENTS = 64  # device candidate-table cap; host fallback beyond
 
 
 def extract_bboxes(
@@ -85,7 +88,14 @@ def extract_bboxes(
 class Inferencer:
     """Generate probability maps + candidate bboxes for cases of a split."""
 
-    def __init__(self, config_or_path, model_path, workdir: Optional[str] = None):
+    def __init__(
+        self,
+        config_or_path,
+        model_path,
+        workdir: Optional[str] = None,
+        save_prob_maps: bool = True,
+    ):
+        self.save_prob_maps = save_prob_maps
         if isinstance(config_or_path, Config):
             self.config = config_or_path
         elif isinstance(config_or_path, dict):
@@ -157,21 +167,46 @@ class Inferencer:
         return {"image": image, "header": header, "spacing": spacing, "body_mask": body_mask}
 
     def _finalize_case(self, case_id: str, inputs, dispatched, threshold: float) -> bool:
-        """Fetch the device result, save prob map, extract candidate bboxes."""
+        """Extract candidate bboxes (on device: threshold -> CCL -> segment
+        reductions, only a tiny component table crosses D2H) and, unless
+        ``save_prob_maps=False``, fetch + save the probability map."""
+        import jax.numpy as jnp
+
         cfg = self.config
-        prob_map = self.sw.fetch(dispatched)
-        header = inputs["header"]
-        nifti.save(
-            nifti.Nifti1Image(prob_map.astype(np.float32), header.affine(), header),
-            self.prob_maps_dir / f"{case_id}_prob.nii.gz",
+        prob_dev, vol_shape = dispatched
+        # device candidate extraction runs on the still-resident prob map
+        table, n_comp = component_table_device(
+            prob_dev, jnp.float32(threshold), max_components=MAX_DEVICE_COMPONENTS
         )
-        bboxes = extract_bboxes(
-            prob_map,
-            threshold=threshold,
+
+        prob_map = None
+        if self.save_prob_maps:
+            prob_map = self.sw.fetch(dispatched)
+            header = inputs["header"]
+            nifti.save(
+                nifti.Nifti1Image(prob_map.astype(np.float32), header.affine(), header),
+                self.prob_maps_dir / f"{case_id}_prob.nii.gz",
+            )
+
+        bboxes = bboxes_from_table(
+            np.asarray(table),
+            int(n_comp),
+            vol_shape,
             min_volume_cc=cfg.data.volume_threshold.inference_cc,
             spacing=inputs["spacing"],
             expansion_voxels=cfg.data.bbox_expansion_voxels,
+            max_components=MAX_DEVICE_COMPONENTS,
         )
+        if bboxes is None:  # > MAX_DEVICE_COMPONENTS candidates: host fallback
+            if prob_map is None:
+                prob_map = self.sw.fetch(dispatched)
+            bboxes = extract_bboxes(
+                prob_map,
+                threshold=threshold,
+                min_volume_cc=cfg.data.volume_threshold.inference_cc,
+                spacing=inputs["spacing"],
+                expansion_voxels=cfg.data.bbox_expansion_voxels,
+            )
         bbox_json = {
             "case_id": case_id,
             "processing_path": "B",

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Longer synthetic training run on real hardware (evidence artifact).
+
+VERDICT r1 missing#2(b): demonstrate on the real chip that the full Trainer
+learns over tens of epochs — recall/DSC trajectories, model selection and
+LR scheduling firing on real signal.  Results are logged into
+docs/PERFORMANCE.md by hand from this script's JSON output.
+
+Usage:  python scripts/synthetic_training_run.py [--epochs 30] [--out run.json]
+Builds a phantom dataset (reference-scale 48^3 patches), trains, and prints
+one JSON line with the history.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--n-train", type=int, default=10)
+    ap.add_argument("--n-val", type=int, default=3)
+    ap.add_argument("--shape", type=int, nargs=3, default=[96, 96, 120])
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--workdir", type=str, default=None)
+    args = ap.parse_args()
+
+    import tempfile
+
+    from light_unet_tpu.config import Config
+    from light_unet_tpu.core.trainer import Trainer
+    from light_unet_tpu.ops.intensity import clip_and_normalize
+    from light_unet_tpu.utils import nifti
+    from tests.synthetic import make_phantom, write_split_files
+
+    workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="synth_run_"))
+    rng = np.random.default_rng(42)
+    ids = [f"{i:04d}" for i in range(1, args.n_train + args.n_val + 1)]
+    (workdir / "proc/images").mkdir(parents=True, exist_ok=True)
+    (workdir / "proc/labels").mkdir(parents=True, exist_ok=True)
+    aff = np.diag([4.0, 4.0, 4.0, 1.0])
+    for cid in ids:
+        img, lab = make_phantom(rng, shape=tuple(args.shape), n_lesions=4, lesion_radius=(2, 4))
+        img = np.asarray(clip_and_normalize(img)[0], np.float32)
+        nifti.save(nifti.Nifti1Image(img, aff), workdir / f"proc/images/{cid}_0000.nii.gz")
+        nifti.save(
+            nifti.Nifti1Image(lab.astype(np.uint8), aff),
+            workdir / f"proc/labels/{cid}.nii.gz",
+        )
+    write_split_files(workdir / "splits", ids[: args.n_train], ids[args.n_train :])
+
+    cfg = Config()
+    cfg.training.batch_size = 8
+    cfg.training.epochs = args.epochs
+    cfg.training.learning_rate = 1e-3
+    cfg.training.use_warmup = True
+    cfg.training.warmup_epochs = 2
+    cfg.training.scheduler.T_max = args.epochs
+    cfg.validation.validate_every_n_epochs = 2
+    cfg.data.body_mask.enabled = False
+    cfg.output.save_every_n_epochs = 10
+    cfg.data_dir = str(workdir / "proc")
+    cfg.splits_dir = str(workdir / "splits")
+
+    t0 = time.time()
+    trainer = Trainer(cfg, workdir=str(workdir))
+    result = trainer.train()
+    wall = time.time() - t0
+
+    out = {
+        "epochs": args.epochs,
+        "wall_seconds": round(wall, 1),
+        "best_recall": result["best_recall"],
+        "best_dsc": result["best_dsc"],
+        "best_epoch": result["best_epoch"],
+        "train_loss": [round(x, 4) for x in result["history"]["train_loss"]],
+        "val_recall": [round(x, 4) for x in result["history"]["val_recall"]],
+        "val_dsc": [round(x, 4) for x in result["history"]["val_dsc"]],
+        "learning_rate": [round(x, 6) for x in result["history"]["learning_rate"]],
+        "workdir": str(workdir),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
