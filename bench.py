@@ -63,9 +63,9 @@ def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
     cfg = Config()
     model = build_model(cfg.model, compute_dtype=jnp.bfloat16, inference=True)
     params = jax.device_put(init_params(model, jax.random.PRNGKey(0), PATCH))
-    # NB: transfer_dtype stays float32 — measured on the tunneled runtime,
-    # bf16 host buffers take a slow conversion path (341 ms vs 45 ms for the
-    # same volume in f32), so halving the bytes loses 7x on the transfer.
+    # Transfers ride the config defaults: uint16 quantized both ways (halves
+    # the link bytes; measured H2D 0.585->0.357 s, D2H 1.14->0.65 s per
+    # volume, error <=8e-6 — see TpuConfig and tests/unit/test_fused.py).
     pipe = FusedVolumePipeline(
         lambda p, x: model.apply(p, x, train=False), cfg, patch_batch=cfg.tpu.patch_batch
     )

@@ -322,8 +322,18 @@ class TpuConfig:
     """TPU-native knobs (no reference counterpart)."""
 
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params stay f32
-    transfer_dtype: str = "float32"  # volume upload dtype for the fused serving
-    # path; "bfloat16" halves upload traffic at <=2% prob-map deviation
+    # Volume upload dtype.  "uint16" quantizes into the host-computed clip
+    # range (values outside it are discarded by the clip anyway), halving H2D
+    # bytes at a <=8e-6 normalized-intensity error — measured 0.585 s -> 0.357 s
+    # per 24 MB volume over the tunneled link, ~10 ms of host quantize.
+    # "bfloat16" also halves bytes but hits a slow ml_dtypes host-buffer
+    # conversion (341 ms vs 45 ms f32) — kept for comparison only.
+    transfer_dtype: str = "uint16"
+    # Probability-map download dtype: "uint16" halves D2H bytes (prob in
+    # [0,1] -> max dequantization error 1/(2*65535) ~ 7.6e-6, far below the
+    # bf16 compute noise; measured 1.14 s -> 0.65 s per map).  Saved NIfTI
+    # artifacts stay float32 either way (dequantized on host).
+    fetch_dtype: str = "uint16"
     patch_batch: int = 96  # patches per sliding-window forward chunk (MXU-profiled)
     data_axis: str = "data"  # mesh axis for data parallelism
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
@@ -377,6 +387,12 @@ class Config:
             raise ConfigError("data.patch_size must be 3 positive ints")
         if not 0.0 < self.validation.default_threshold < 1.0:
             raise ConfigError("validation.default_threshold must be in (0,1)")
+        if self.tpu.compute_dtype not in ("bfloat16", "float32"):
+            raise ConfigError("tpu.compute_dtype must be bfloat16|float32")
+        if self.tpu.transfer_dtype not in ("float32", "bfloat16", "uint16"):
+            raise ConfigError("tpu.transfer_dtype must be float32|bfloat16|uint16")
+        if self.tpu.fetch_dtype not in ("float32", "uint16"):
+            raise ConfigError("tpu.fetch_dtype must be float32|uint16")
         return self
 
     # ------------------------------------------------------------------

@@ -42,6 +42,8 @@ import jax
 
 MAX_DEVICE_COMPONENTS = 64  # device candidate-table cap; host fallback beyond
 
+_dequant16 = jax.jit(lambda q: q.astype("float32") * (1.0 / 65535.0))
+
 
 def extract_bboxes(
     prob_map: np.ndarray,
@@ -133,6 +135,8 @@ class Inferencer:
             z_bucket=cfg.tpu.z_bucket,
             mesh=mesh,
             data_axis=cfg.tpu.data_axis,
+            transfer_dtype=cfg.tpu.transfer_dtype,
+            fetch_dtype=cfg.tpu.fetch_dtype,
         )
 
         self.prob_maps_dir = Path(self._resolve(cfg.output.prob_maps_dir))
@@ -174,6 +178,8 @@ class Inferencer:
 
         cfg = self.config
         prob_dev, vol_shape = dispatched
+        if prob_dev.dtype == jnp.uint16:  # quantized fetch_dtype: dequant on device
+            prob_dev = _dequant16(prob_dev)
         # device candidate extraction runs on the still-resident prob map
         table, n_comp = component_table_device(
             prob_dev, jnp.float32(threshold), max_components=MAX_DEVICE_COMPONENTS

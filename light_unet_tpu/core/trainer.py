@@ -180,6 +180,8 @@ class Trainer:
             z_bucket=cfg.tpu.z_bucket,
             mesh=self.mesh,
             data_axis=cfg.tpu.data_axis,
+            transfer_dtype=cfg.tpu.transfer_dtype,
+            fetch_dtype=cfg.tpu.fetch_dtype,
         )
 
         # --- logging / checkpoints ------------------------------------------

@@ -33,16 +33,21 @@ from scipy import ndimage
 
 
 def _axis_sweep(labels: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
-    """Masked running max along one axis (mask is implicit: label>0)."""
-    moved = jnp.moveaxis(labels, axis, 0)
+    """Masked running max along one axis (mask is implicit: label>0).
 
-    def step(prev, cur):
-        # propagate only into foreground voxels from foreground predecessors
-        prop = jnp.where(cur > 0, jnp.maximum(cur, prev), 0)
-        return prop, prop
+    Implemented as a SEGMENTED max-scan via ``lax.associative_scan`` —
+    background voxels reset the running max — which runs in log2(length)
+    full-lane passes instead of a length-long sequential ``lax.scan``
+    (9 vs ~288 dependent steps for a whole-body Z axis on TPU)."""
+    fg = labels > 0
 
-    _, out = lax.scan(step, jnp.zeros_like(moved[0]), moved, reverse=reverse)
-    return jnp.moveaxis(out, 0, axis)
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.maximum(av, bv)), ar | br
+
+    v, _ = lax.associative_scan(combine, (labels, ~fg), axis=axis, reverse=reverse)
+    return jnp.where(fg, v, 0)
 
 
 @jax.jit

@@ -33,21 +33,12 @@ from light_unet_tpu.ops.intensity import (
 )
 from light_unet_tpu.ops.sliding_window import (
     _round_up,
+    _valid_mask,
     bucketed_shape,
     choose_chunk,
     compute_positions,
     sliding_window_core,
 )
-
-
-def _valid_mask(shape, true_dims):
-    """Validity mask for a zero-padded volume, built ON DEVICE from the three
-    true extents (traced i32 scalars) — replaces a full-volume H2D upload
-    (24 MB for a whole-body PET volume, ~170 ms over the remote TPU link)."""
-    d = jax.lax.broadcasted_iota(jnp.int32, shape, 0) < true_dims[0]
-    h = jax.lax.broadcasted_iota(jnp.int32, shape, 1) < true_dims[1]
-    w = jax.lax.broadcasted_iota(jnp.int32, shape, 2) < true_dims[2]
-    return (d & h & w).astype(jnp.float32)
 
 
 @partial(
@@ -130,7 +121,7 @@ def normalize_and_body_mask(
     static_argnames=(
         "apply_fn", "patch_size", "chunk",
         "range_min", "range_max", "threshold", "closing_voxels", "keep_largest",
-        "dilate_voxels", "apply_mask", "out_dtype",
+        "dilate_voxels", "apply_mask", "dequant", "quantize_out",
     ),
 )
 def _preprocess_and_infer_jit(
@@ -138,16 +129,25 @@ def _preprocess_and_infer_jit(
     apply_fn: Callable, patch_size: Tuple[int, int, int], chunk: int,
     range_min: float, range_max: float,
     threshold: float, closing_voxels: int, keep_largest: bool, dilate_voxels: int,
-    apply_mask: bool, out_dtype=jnp.float32,
+    apply_mask: bool, dequant: bool = False, quantize_out: bool = False,
 ):
-    volume = volume.astype(jnp.float32)
+    if dequant:
+        # uint16 upload: values were quantized on host into [lo, hi] (the
+        # clip range — everything outside it is discarded by the clip anyway)
+        volume = volume.astype(jnp.float32) * ((hi - lo) / 65535.0) + lo
+    else:
+        volume = volume.astype(jnp.float32)
     valid = _valid_mask(volume.shape, true_dims)
     normalized = clip_normalize_device(volume, valid, lo, hi, range_min=range_min, range_max=range_max)
     prob = sliding_window_core(params, normalized, positions, pmask, imp_map, apply_fn, patch_size, chunk)
     if apply_mask:
         body, _ = body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels)
         prob = prob * body
-    return prob.astype(out_dtype)
+    if quantize_out:
+        # prob in [0,1] -> uint16 halves the D2H bytes; dequantization error
+        # <= 1/(2*65535), far below bf16 compute noise
+        return jnp.round(jnp.clip(prob, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+    return prob.astype(jnp.float32)
 
 
 class FusedVolumePipeline:
@@ -156,20 +156,29 @@ class FusedVolumePipeline:
     Supports async dispatch so host NIfTI decode of case i+1 overlaps device
     compute of case i."""
 
-    def __init__(self, apply_fn, config, patch_batch: int = 96, transfer_dtype=None):
+    def __init__(
+        self, apply_fn, config, patch_batch: int = 96, transfer_dtype=None, fetch_dtype=None
+    ):
         self.apply_fn = apply_fn
         self.cfg = config
         self.patch_size = tuple(config.data.patch_size)
         self.patch_batch = patch_batch
         self.z_bucket = config.tpu.z_bucket
         self.imp_map = jnp.asarray(gaussian_importance_map(self.patch_size))
-        # bf16 upload halves the bytes but is NOT the default: besides the
-        # <=2% prob-map deviation, the tunneled TPU runtime has no fast bf16
-        # host-buffer path (measured 341 ms vs 45 ms for the same volume in
-        # f32).  Results always come back float32 (on-device cast is free;
-        # a host-side bf16->f32 cast costs ~400 ms on one core).
-        name = transfer_dtype or getattr(config.tpu, "transfer_dtype", "bfloat16")
-        self.transfer_dtype = jnp.bfloat16 if str(name) == "bfloat16" else jnp.float32
+        # Upload dtype trade-offs (measured on the tunneled runtime):
+        #   float32  — baseline, fast host-buffer path;
+        #   uint16   — halves the bytes by quantizing into the host-computed
+        #              clip range [lo, hi] (values outside it are discarded by
+        #              the clip anyway; max error (hi-lo)/65535/2);
+        #   bfloat16 — halves the bytes but ml_dtypes host buffers take a slow
+        #              conversion path (341 ms vs 45 ms f32) — kept only for
+        #              comparison.
+        name = str(transfer_dtype or getattr(config.tpu, "transfer_dtype", "float32"))
+        self.transfer_dtype = {"bfloat16": jnp.bfloat16, "uint16": jnp.uint16}.get(
+            name, jnp.float32
+        )
+        fname = str(fetch_dtype or getattr(config.tpu, "fetch_dtype", "float32"))
+        self.quantize_out = fname == "uint16"
 
     def dispatch(self, params, image: np.ndarray):
         cfg = self.cfg
@@ -183,11 +192,21 @@ class FusedVolumePipeline:
             import ml_dtypes  # ships with jax
 
             host_dtype = ml_dtypes.bfloat16
+        elif self.transfer_dtype == jnp.uint16:
+            host_dtype = np.uint16
         else:
             host_dtype = np.float32
         # single pass: numpy casts during the assignment into the padded buffer
         padded = np.zeros(pshape, host_dtype)
-        padded[tuple(slice(0, s) for s in shape)] = image
+        if self.transfer_dtype == jnp.uint16:
+            scale = np.float32(65535.0 / (hi - lo)) if hi > lo else np.float32(0.0)
+            tmp = np.clip(image, lo, hi)
+            tmp -= np.float32(lo)
+            tmp *= scale
+            tmp += np.float32(0.5)  # round-to-nearest under the truncating cast
+            padded[tuple(slice(0, s) for s in shape)] = tmp
+        else:
+            padded[tuple(slice(0, s) for s in shape)] = image
 
         positions = compute_positions(shape, self.patch_size, 0.5)
         n = len(positions)
@@ -209,14 +228,19 @@ class FusedVolumePipeline:
             threshold=float(bm.threshold), closing_voxels=int(bm.closing_voxels),
             keep_largest=bool(bm.keep_largest_component), dilate_voxels=int(bm.dilate_voxels),
             apply_mask=bool(bm.enabled and bm.apply_to_inference),
-            out_dtype=jnp.float32,
+            dequant=self.transfer_dtype == jnp.uint16,
+            quantize_out=self.quantize_out,
         )
         return out, shape
 
     @staticmethod
     def fetch(dispatched) -> np.ndarray:
         out, shape = dispatched
-        return np.asarray(out)[: shape[0], : shape[1], : shape[2]]
+        host = np.asarray(out)[: shape[0], : shape[1], : shape[2]]
+        if host.dtype == np.uint16:  # quantized D2H -> dequantize on host
+            host = host.astype(np.float32)
+            host *= np.float32(1.0 / 65535.0)
+        return host
 
     def __call__(self, params, image: np.ndarray) -> np.ndarray:
         return self.fetch(self.dispatch(params, image))

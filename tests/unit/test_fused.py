@@ -56,7 +56,9 @@ def test_fused_pipeline_matches_stage_chain(phantom):
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
     apply_fn = lambda p, x: model.apply(p, x)
 
-    pipe = FusedVolumePipeline(apply_fn, cfg, patch_batch=8, transfer_dtype="float32")
+    pipe = FusedVolumePipeline(
+        apply_fn, cfg, patch_batch=8, transfer_dtype="float32", fetch_dtype="float32"
+    )
     fused = pipe(params, phantom)
 
     norm, _ = clip_and_normalize(phantom, 0.5, 99.5, (0, 1), z_bucket=16)
@@ -66,14 +68,70 @@ def test_fused_pipeline_matches_stage_chain(phantom):
 
     np.testing.assert_allclose(fused, unfused, atol=1e-5)
 
-    # the config default is exact float32 transfer
-    assert FusedVolumePipeline(apply_fn, cfg, patch_batch=8).transfer_dtype == jnp.float32
+    # the config default is quantized uint16 transfer (measured faster over
+    # the link; numerics pinned by test_fused_pipeline_quantized_transfers)
+    assert FusedVolumePipeline(apply_fn, cfg, patch_batch=8).transfer_dtype == jnp.uint16
     # opt-in bf16 upload (serving mode) trades <=2% prob-map deviation for
     # half the host->device traffic
     pipe_bf16 = FusedVolumePipeline(apply_fn, cfg, patch_batch=8, transfer_dtype="bfloat16")
     fused_bf16 = pipe_bf16(params, phantom)
     assert fused_bf16.dtype == np.float32
     np.testing.assert_allclose(fused_bf16, unfused, atol=2e-2)
+
+
+def test_fused_pipeline_quantized_transfers_match_f32(phantom):
+    """uint16 upload (quantized into the clip range) and uint16 prob-map
+    fetch must reproduce the f32 paths within the quantization bound:
+    intensity error <= (hi-lo)/65535/2 maps through the network's Lipschitz
+    constant, so a loose 1e-3 tolerance; fetch error <= 1/(2*65535)."""
+    cfg = Config()
+    cfg.data.patch_size = [16, 16, 16]
+    cfg.data.body_mask.closing_voxels = 2
+    cfg.tpu.z_bucket = 16
+    model = TinyNet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    apply_fn = lambda p, x: model.apply(p, x)
+
+    ref = FusedVolumePipeline(
+        apply_fn, cfg, patch_batch=8, transfer_dtype="float32", fetch_dtype="float32"
+    )(params, phantom)
+
+    q_in = FusedVolumePipeline(
+        apply_fn, cfg, patch_batch=8, transfer_dtype="uint16", fetch_dtype="float32"
+    )(params, phantom)
+    assert q_in.dtype == np.float32
+    np.testing.assert_allclose(q_in, ref, atol=1e-3)
+
+    q_out = FusedVolumePipeline(
+        apply_fn, cfg, patch_batch=8, transfer_dtype="float32", fetch_dtype="uint16"
+    )(params, phantom)
+    assert q_out.dtype == np.float32
+    np.testing.assert_allclose(q_out, ref, atol=1.01 / (2 * 65535))
+
+    q_both = FusedVolumePipeline(
+        apply_fn, cfg, patch_batch=8, transfer_dtype="uint16", fetch_dtype="uint16"
+    )(params, phantom)
+    np.testing.assert_allclose(q_both, ref, atol=1e-3)
+
+
+def test_sliding_window_quantized_transfers_match_f32(phantom):
+    model = TinyNet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    apply_fn = lambda p, x: model.apply(p, x)
+    # normalized input, like the preprocessed volumes this engine consumes
+    norm, _ = clip_and_normalize(phantom, 0.5, 99.5, (0, 1), z_bucket=16)
+    mask = norm > 0.1
+
+    ref_sw = SlidingWindowInferencer(apply_fn, (16, 16, 16), patch_batch=8, z_bucket=16)
+    ref = ref_sw(params, norm, post_mask=mask)
+
+    q_sw = SlidingWindowInferencer(
+        apply_fn, (16, 16, 16), patch_batch=8, z_bucket=16,
+        transfer_dtype="uint16", fetch_dtype="uint16",
+    )
+    q = q_sw(params, norm, post_mask=mask)
+    assert q.dtype == np.float32
+    np.testing.assert_allclose(q, ref, atol=1e-3)
 
 
 def test_fused_pipeline_async_dispatch(phantom):

@@ -137,3 +137,12 @@ def test_sharded_matches_single_device(tiny, rng):
     np.testing.assert_allclose(
         sharded(params, vol, post_mask=mask), single(params, vol) * mask, atol=1e-5
     )
+
+    # sharded + quantized uint16 transfers (the multi-chip serving config)
+    sharded_q = SlidingWindowInferencer(
+        apply_fn, (16, 16, 16), patch_batch=8, z_bucket=16, mesh=mesh,
+        transfer_dtype="uint16", fetch_dtype="uint16",
+    )
+    np.testing.assert_allclose(
+        sharded_q(params, vol, post_mask=mask), single(params, vol) * mask, atol=1e-3
+    )
