@@ -35,19 +35,22 @@ from scipy import ndimage
 def _axis_sweep(labels: jnp.ndarray, axis: int, reverse: bool) -> jnp.ndarray:
     """Masked running max along one axis (mask is implicit: label>0).
 
-    Implemented as a SEGMENTED max-scan via ``lax.associative_scan`` —
-    background voxels reset the running max — which runs in log2(length)
-    full-lane passes instead of a length-long sequential ``lax.scan``
-    (9 vs ~288 dependent steps for a whole-body Z axis on TPU)."""
-    fg = labels > 0
+    Deliberately a sequential ``lax.scan``: a segmented max-scan via
+    ``lax.associative_scan`` (log2(n) passes instead of n dependent steps)
+    was tried and measured 2.4x SLOWER on a v5e for whole-body volumes
+    (2.64 s vs ~1.1 s steady-state) — each of its ~9 levels re-streams the
+    full volume through HBM with slice/pad traffic, while the sequential
+    scan's per-step slice is a tiny [H,W] plane that stays in VMEM
+    (docs/PERFORMANCE.md, negative results)."""
+    moved = jnp.moveaxis(labels, axis, 0)
 
-    def combine(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, jnp.maximum(av, bv)), ar | br
+    def step(prev, cur):
+        # propagate only into foreground voxels from foreground predecessors
+        prop = jnp.where(cur > 0, jnp.maximum(cur, prev), 0)
+        return prop, prop
 
-    v, _ = lax.associative_scan(combine, (labels, ~fg), axis=axis, reverse=reverse)
-    return jnp.where(fg, v, 0)
+    _, out = lax.scan(step, jnp.zeros_like(moved[0]), moved, reverse=reverse)
+    return jnp.moveaxis(out, 0, axis)
 
 
 @jax.jit

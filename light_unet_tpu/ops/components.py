@@ -29,8 +29,6 @@ import numpy as np
 
 from light_unet_tpu.ops.ccl import label_propagate
 
-_BIG = jnp.int32(2**31 - 1)
-
 
 @partial(jax.jit, static_argnames=("max_components",))
 def component_table_device(
@@ -54,48 +52,59 @@ def component_table_device(
     # exact component count: each component's label is the max flat-index+1
     # over its voxels, so exactly one voxel per component has label == seed
     seeds = jnp.arange(1, n + 1, dtype=jnp.int32)
-    n_components = jnp.sum((flat_labels == seeds) & mask_flat).astype(jnp.int32)
+    seed_mask = (flat_labels == seeds) & mask_flat
+    n_components = jnp.sum(seed_mask).astype(jnp.int32)
 
-    # compact ids: sorted unique label values (fill sorts after any real id)
-    uniq = jnp.unique(flat_labels, size=max_components + 1, fill_value=_BIG)
-    ids = jnp.searchsorted(uniq, flat_labels).astype(jnp.int32)
+    # compact ids WITHOUT a full-volume sort or binary search (jnp.unique's
+    # sort cost ~1 s and searchsorted's 7-level gathers ~0.3 s on a
+    # whole-body volume): the label VALUE of a component is its seed voxel's
+    # flat index + 1, and sized nonzero returns seed indices ascending — so
+    # the sorted unique labels are just seed_idx + 1.  Dense ids then come
+    # from a 64-element scatter into a length-(n+1) lookup table plus one
+    # memory-bound gather (background label 0 -> id 0 stays 0 in the LUT).
+    seed_idx = jnp.nonzero(seed_mask, size=max_components, fill_value=n)[0]
+    ranks = jnp.arange(1, max_components + 1, dtype=jnp.int32)
+    lut = jnp.zeros((n + 2,), jnp.int32).at[seed_idx + 1].set(
+        ranks, mode="drop"
+    )
+    ids = lut[flat_labels]
     num_seg = max_components + 1
 
-    ones = mask_flat.astype(jnp.int32)
-    sizes = jax.ops.segment_sum(ones, ids, num_segments=num_seg)
-
+    # all 12 per-component statistics in TWO segment passes over the volume
+    # (the per-call cost is dominated by processing the 5.9M ids, so stacking
+    # columns amortizes it ~4.5x vs one call per statistic):
+    #   pass 1 (sum):  count, Σz, Σy, Σx
+    #   pass 2 (max):  -min(z,y,x), max(z,y,x), max prob, -first_voxel
     coords = [
-        jax.lax.broadcasted_iota(jnp.int32, shape, a).ravel() for a in range(3)
+        jax.lax.broadcasted_iota(jnp.int32, shape, a).ravel().astype(jnp.float32)
+        for a in range(3)
     ]
-    bbox_min = [
-        jax.ops.segment_min(jnp.where(mask_flat, c, _BIG), ids, num_segments=num_seg)
-        for c in coords
-    ]
-    bbox_max = [
-        jax.ops.segment_max(jnp.where(mask_flat, c, -1), ids, num_segments=num_seg)
-        for c in coords
-    ]
-    max_prob = jax.ops.segment_max(
-        jnp.where(mask_flat, prob.ravel(), -1.0), ids, num_segments=num_seg
-    )
-    centers = [
-        jax.ops.segment_sum(jnp.where(mask_flat, c, 0).astype(jnp.float32), ids, num_segments=num_seg)
-        / jnp.maximum(sizes, 1).astype(jnp.float32)
-        for c in coords
-    ]
-    first_voxel = jax.ops.segment_min(
-        jnp.where(mask_flat, jnp.arange(n, dtype=jnp.int32), _BIG), ids, num_segments=num_seg
-    )
+    fg = mask_flat.astype(jnp.float32)
+    sum_cols = jnp.stack([fg, coords[0] * fg, coords[1] * fg, coords[2] * fg], axis=1)
+    sums = jax.ops.segment_sum(sum_cols, ids, num_segments=num_seg)
+    sizes = sums[:, 0]
+    centers = sums[:, 1:4] / jnp.maximum(sizes, 1.0)[:, None]
 
-    table = jnp.stack(
-        [
-            sizes.astype(jnp.float32),
-            *[b.astype(jnp.float32) for b in bbox_min],
-            *[b.astype(jnp.float32) for b in bbox_max],
-            max_prob.astype(jnp.float32),
-            *centers,
-            first_voxel.astype(jnp.float32),
-        ],
+    _BIGF = jnp.float32(3e9)  # > int32 max: empty rows fail the <2^31-1 guard
+    neg = jnp.where(mask_flat, 0.0, -_BIGF)[:, None]
+    flat_idx = jnp.arange(n, dtype=jnp.float32)
+    max_cols = (
+        jnp.stack(
+            [-coords[0], -coords[1], -coords[2], coords[0], coords[1], coords[2],
+             prob.ravel(), -flat_idx],
+            axis=1,
+        )
+        + neg
+    )
+    maxes = jax.ops.segment_max(max_cols, ids, num_segments=num_seg)
+    bbox_min = -maxes[:, 0:3]
+    bbox_max = maxes[:, 3:6]
+    max_prob = jnp.maximum(maxes[:, 6], -1.0)  # empty rows: -1 like before
+    first_voxel = -maxes[:, 7]
+
+    table = jnp.concatenate(
+        [sizes[:, None], bbox_min, bbox_max, max_prob[:, None], centers,
+         first_voxel[:, None]],
         axis=1,
     )
     return table, n_components
