@@ -71,12 +71,18 @@ def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
     )
     paths = [tmpdir / "images" / f"{cid}_0000.nii.gz" for cid in ids]
 
+    def load_and_prepare(path):
+        # decode AND host prep (percentiles/quantize/pad) on the worker
+        # thread — the dispatch thread then only hands buffers to the runtime
+        img, _hdr = fastio.load_f32(path)
+        return pipe.prepare(img)
+
     def run_all():
         results = []
         pending = None
         with ThreadPoolExecutor(max_workers=2) as pool:
-            for img, _hdr in pool.map(fastio.load_f32, paths):
-                disp = pipe.dispatch(params, img)
+            for prep in pool.map(load_and_prepare, paths):
+                disp = pipe.dispatch(params, prep)
                 if pending is not None:
                     results.append(pipe.fetch(pending))
                 pending = disp
@@ -100,18 +106,21 @@ def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
     vps = statistics.median(rep_vps)
 
     # per-phase breakdown (serial, one volume, median of reps)
-    phases = {"decode": [], "host_prep_dispatch": [], "device_compute_fetch": []}
+    phases = {"decode": [], "host_prepare": [], "dispatch": [], "device_compute_fetch": []}
     for _ in range(reps):
         t0 = time.time()
         img, _ = fastio.load_f32(paths[0])
         t1 = time.time()
-        disp = pipe.dispatch(params, img)
+        prep = pipe.prepare(img)
         t2 = time.time()
-        pipe.fetch(disp)
+        disp = pipe.dispatch(params, prep)
         t3 = time.time()
+        pipe.fetch(disp)
+        t4 = time.time()
         phases["decode"].append(t1 - t0)
-        phases["host_prep_dispatch"].append(t2 - t1)
-        phases["device_compute_fetch"].append(t3 - t2)
+        phases["host_prepare"].append(t2 - t1)
+        phases["dispatch"].append(t3 - t2)
+        phases["device_compute_fetch"].append(t4 - t3)
 
     return {
         "volumes_per_sec": vps,

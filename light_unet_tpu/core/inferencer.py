@@ -150,8 +150,10 @@ class Inferencer:
 
     # ------------------------------------------------------------------
     def _load_case_inputs(self, case_id: str, data_dir: Path):
-        """Host-side decode of one case (native fastio; runs in a worker
-        thread so it overlaps device compute of the previous case)."""
+        """Host-side decode + prep of one case (native fastio decode, then
+        ``SlidingWindowInferencer.prepare`` — patch grid, quantize/pad, mask
+        pack); runs in a worker thread so ALL per-case host work overlaps
+        device compute of the previous case."""
         image_files = find_case_files(data_dir, case_id, "image")
         if not image_files:
             print(f"Warning: No image files found for {case_id}")
@@ -168,7 +170,8 @@ class Inferencer:
                 body_mask = (body_mask > 0.5).astype(np.float32)
             else:
                 print(f"Warning: Body mask not found for {case_id}")
-        return {"image": image, "header": header, "spacing": spacing, "body_mask": body_mask}
+        prepared = self.sw.prepare(image, post_mask=body_mask)
+        return {"prepared": prepared, "header": header, "spacing": spacing}
 
     def _finalize_case(self, case_id: str, inputs, dispatched, threshold: float) -> bool:
         """Extract candidate bboxes (on device: threshold -> CCL -> segment
@@ -231,7 +234,7 @@ class Inferencer:
         if inputs is None:
             return False
         try:
-            dispatched = self.sw.dispatch(self.params, inputs["image"], post_mask=inputs["body_mask"])
+            dispatched = self.sw.dispatch(self.params, inputs["prepared"])
             return self._finalize_case(case_id, inputs, dispatched, threshold)
         except Exception as e:  # noqa: BLE001 - per-case isolation like the reference
             print(f"Error during inference execution for {case_id}: {e}")
@@ -281,9 +284,7 @@ class Inferencer:
                     failed.append(case_id)
                     continue
                 try:
-                    dispatched = self.sw.dispatch(
-                        self.params, inputs["image"], post_mask=inputs["body_mask"]
-                    )
+                    dispatched = self.sw.dispatch(self.params, inputs["prepared"])
                 except Exception as e:  # noqa: BLE001
                     print(f"Error during inference execution for {case_id}: {e}")
                     failed.append(case_id)

@@ -358,13 +358,25 @@ class Trainer:
         default_threshold = cfg.validation.default_threshold
 
         predictions, labels, spacings = [], [], []
-        for sample in self.val_dataset:
-            prob_map = self.sw(self.params, sample.image)
+
+        def collect(dispatched, sample):
+            prob_map = self.sw.fetch(dispatched)
             if apply_body_mask and sample.body_mask is not None:
                 prob_map = prob_map * sample.body_mask
             predictions.append(prob_map)
             labels.append(sample.label)
             spacings.append(sample.spacing or target_spacing)
+
+        # pipelined like Inferencer.infer_split: dispatch case i+1 before
+        # fetching case i so decode/fetch overlap device compute
+        pending = None
+        for sample in self.val_dataset:
+            dispatched = self.sw.dispatch(self.params, sample.image)
+            if pending is not None:
+                collect(*pending)
+            pending = (dispatched, sample)
+        if pending is not None:
+            collect(*pending)
 
         if not predictions:
             return 0.0, {

@@ -310,11 +310,10 @@ class SlidingWindowInferencer:
                 static_argnames=("chunk", "use_post_mask", "dequant", "quantize_out"),
             )
 
-    def dispatch(self, params, volume: np.ndarray, post_mask: Optional[np.ndarray] = None):
-        """Start the device computation and return (device_array, orig_shape)
-        WITHOUT synchronizing — lets callers pipeline host IO (decode the next
-        case) against device compute.  ``post_mask`` (e.g. a body mask) is
-        multiplied into the probability map on device."""
+    def prepare(self, volume: np.ndarray, post_mask: Optional[np.ndarray] = None):
+        """Host-side prep of one case (patch grid, quantize/pad, mask pack) —
+        run it on an IO worker thread so it overlaps device compute of the
+        previous case instead of serializing on the dispatch thread."""
         volume = np.asarray(volume, dtype=np.float32)
         if volume.ndim == 4 and volume.shape[0] == 1:
             volume = volume[0]
@@ -348,6 +347,16 @@ class SlidingWindowInferencer:
             pm[region] = np.asarray(post_mask) > 0
         else:
             pm = np.zeros((1, 1, 1), dtype=np.uint8)  # unused placeholder
+        return vol_padded, shape, vlo, vhi, pos_padded, mask, pm, chunk, use_post_mask
+
+    def dispatch(self, params, volume, post_mask: Optional[np.ndarray] = None):
+        """Start the device computation and return (device_array, orig_shape)
+        WITHOUT synchronizing — lets callers pipeline host IO (decode the next
+        case) against device compute.  ``volume`` is a raw [D,H,W] array or a
+        ``prepare()`` result; ``post_mask`` (e.g. a body mask) is multiplied
+        into the probability map on device."""
+        prep = volume if isinstance(volume, tuple) else self.prepare(volume, post_mask)
+        vol_padded, shape, vlo, vhi, pos_padded, mask, pm, chunk, use_post_mask = prep
 
         args = (
             params,
