@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--shape", type=int, nargs=3, default=[96, 96, 120])
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument(
+        "--mixed-mode", choices=["fl_epoch_plus_dlbcl", "probabilistic"], default=None,
+        help="exercise a mixed FL+DLBCL training mode: --n-train FL cases plus"
+        " as many DLBCL-id cases (1000+) are generated; validation stays FL-only",
+    )
     args = ap.parse_args()
 
     import tempfile
@@ -45,6 +50,8 @@ def main() -> int:
     workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="synth_run_"))
     rng = np.random.default_rng(42)
     ids = [f"{i:04d}" for i in range(1, args.n_train + args.n_val + 1)]
+    if args.mixed_mode:  # DLBCL domain: 4-digit ids 1000-1422 (reference contract)
+        ids += [f"{1000 + i:04d}" for i in range(args.n_train)]
     (workdir / "proc/images").mkdir(parents=True, exist_ok=True)
     (workdir / "proc/labels").mkdir(parents=True, exist_ok=True)
     aff = np.diag([4.0, 4.0, 4.0, 1.0])
@@ -56,7 +63,8 @@ def main() -> int:
             nifti.Nifti1Image(lab.astype(np.uint8), aff),
             workdir / f"proc/labels/{cid}.nii.gz",
         )
-    write_split_files(workdir / "splits", ids[: args.n_train], ids[args.n_train :])
+    train_ids = ids[: args.n_train] + ids[args.n_train + args.n_val :]
+    write_split_files(workdir / "splits", train_ids, ids[args.n_train : args.n_train + args.n_val])
 
     cfg = Config()
     cfg.training.batch_size = 8
@@ -70,6 +78,9 @@ def main() -> int:
     cfg.output.save_every_n_epochs = 10
     cfg.data_dir = str(workdir / "proc")
     cfg.splits_dir = str(workdir / "splits")
+    if args.mixed_mode:
+        cfg.training.mixed_domains.enabled = True
+        cfg.training.mixed_domains.mode = args.mixed_mode
 
     t0 = time.time()
     trainer = Trainer(cfg, workdir=str(workdir))
@@ -78,6 +89,7 @@ def main() -> int:
 
     out = {
         "epochs": args.epochs,
+        "mode": args.mixed_mode or "standard",
         "wall_seconds": round(wall, 1),
         "best_recall": result["best_recall"],
         "best_dsc": result["best_dsc"],
