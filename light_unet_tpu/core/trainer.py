@@ -52,7 +52,11 @@ from light_unet_tpu.core.schedule import LRScheduler
 from light_unet_tpu.datasets.loader import get_data_loader
 from light_unet_tpu.datasets.volume_cache import VolumeCache
 from light_unet_tpu.models.losses import get_loss_function
-from light_unet_tpu.models.metrics import DEFAULT_SPACING, calculate_metrics
+from light_unet_tpu.models.metrics import (
+    DEFAULT_SPACING,
+    calculate_metrics,
+    calculate_metrics_sweep,
+)
 from light_unet_tpu.models.unet3d import build_model, count_parameters, init_params
 from light_unet_tpu.ops.augment import make_augment_fn
 from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
@@ -393,12 +397,15 @@ class Trainer:
         thresholds = cfg.validation.threshold_sensitivity_range or [default_threshold]
         tie_threshold = cfg.metrics.model_selection.tie_threshold
 
+        # all thresholds in one sweep: the target-side CCL/centers are
+        # computed once per case instead of once per (case, threshold)
+        sweep = calculate_metrics_sweep(predictions, labels, thresholds, spacing=spacings)
         best_threshold = thresholds[0]
-        best = calculate_metrics(predictions, labels, threshold=best_threshold, spacing=spacings)
+        best = sweep[best_threshold]
         best_recall = best["lesion_wise_recall"]
         best_dsc = best["voxel_wise_dsc_macro"]
         for threshold in thresholds[1:]:
-            m = calculate_metrics(predictions, labels, threshold=threshold, spacing=spacings)
+            m = sweep[threshold]
             better, _ = is_better_metric(
                 m["lesion_wise_recall"], m["voxel_wise_dsc_macro"], best_recall, best_dsc, tie_threshold
             )

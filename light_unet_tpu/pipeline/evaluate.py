@@ -20,7 +20,7 @@ import pandas as pd
 
 from light_unet_tpu.config import Config
 from light_unet_tpu.datasets.index import find_case_files, read_split_file
-from light_unet_tpu.models.metrics import calculate_dsc, calculate_lesion_metrics
+from light_unet_tpu.models.metrics import calculate_dsc, lesion_metrics_sweep
 from light_unet_tpu.utils import nifti
 
 
@@ -38,18 +38,16 @@ def evaluate_case(
     label = nifti.load(label_files[0]).get_fdata()
 
     results = {}
+    # ground truth is labeled/centered once for the whole threshold sweep
+    lm_sweep = lesion_metrics_sweep(
+        prob_map, label, thresholds,
+        min_size_voxels=0, iou_threshold=0.1, distance_threshold_mm=10.0,
+        spacing=spacing,
+    )
     for threshold in thresholds:
         pred_binary = (prob_map >= threshold).astype(np.float32)
         dsc = calculate_dsc(pred_binary, label)
-        lm = calculate_lesion_metrics(
-            prob_map,
-            label,
-            threshold=threshold,
-            min_size_voxels=0,
-            iou_threshold=0.1,
-            distance_threshold_mm=10.0,
-            spacing=spacing,
-        )
+        lm = lm_sweep[threshold]
         results[threshold] = {
             "dsc": dsc,
             "recall": lm["recall"],

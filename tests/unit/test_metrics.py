@@ -113,3 +113,29 @@ def test_batched_array_input():
     out = M.calculate_metrics(t, t, threshold=0.5)
     assert out["lesion_wise_recall"] == 1.0
     assert out["voxel_wise_dsc_micro"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_sweep_matches_per_threshold_calls():
+    """calculate_metrics_sweep / lesion_metrics_sweep must equal the
+    per-threshold API exactly (the sweep only caches target-side work)."""
+    rng = np.random.default_rng(9)
+    preds, targets = [], []
+    for _ in range(3):
+        t = np.zeros((28, 28, 30), np.float32)
+        for _ in range(3):
+            c = rng.integers(5, 23, 3)
+            t[c[0]-2:c[0]+2, c[1]-2:c[1]+2, c[2]-2:c[2]+2] = 1
+        p = np.clip(t * rng.uniform(0.4, 1.0) + rng.random(t.shape) * 0.35, 0, 1)
+        preds.append(p.astype(np.float32))
+        targets.append(t)
+    thresholds = [0.1, 0.3, 0.5, 0.7]
+    spacings = [(4.0, 4.0, 4.0)] * 3
+
+    sweep = M.calculate_metrics_sweep(preds, targets, thresholds, spacing=spacings)
+    for t in thresholds:
+        single = M.calculate_metrics(preds, targets, threshold=t, spacing=spacings)
+        assert sweep[t] == single, f"threshold {t}"
+
+    lm_sweep = M.lesion_metrics_sweep(preds[0], targets[0], thresholds)
+    for t in thresholds:
+        assert lm_sweep[t] == M.calculate_lesion_metrics(preds[0], targets[0], threshold=t)
