@@ -230,6 +230,13 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, images, labels, rng):
+            # quantized uploads (loader's producer thread): dequantize on
+            # device — dtype dispatch happens at trace time, so the f32 path
+            # compiles to exactly what it was before
+            if images.dtype == jnp.uint16:
+                images = images.astype(jnp.float32) * (1.0 / 65535.0)
+            if labels.dtype == jnp.uint8:
+                labels = labels.astype(jnp.float32)
             aug_key, dropout_key = jax.random.split(rng)
             images, labels = augment(aug_key, images, labels)
 

@@ -40,13 +40,27 @@ class PrefetchLoader:
     — one partial batch of random redraws is statistically identical).
     """
 
-    def __init__(self, sampler, batch_size: int, prefetch_depth: int = 3):
+    def __init__(self, sampler, batch_size: int, prefetch_depth: int = 3,
+                 quantize: bool = False):
         self.sampler = sampler
         self.batch_size = int(batch_size)
         self.prefetch_depth = int(prefetch_depth)
+        # quantize batches on the producer thread: images (normalized [0,1])
+        # -> uint16 (error <=1/(2*65535)), binary labels -> uint8 (exact).
+        # Halves/quarters the per-step H2D bytes; the jitted train step
+        # dequantizes on device (dtype-dispatched at trace time).
+        self.quantize = bool(quantize)
 
     def __len__(self) -> int:
         return max(1, len(self.sampler) // self.batch_size)
+
+    @staticmethod
+    def _quantize_batch(batch: Tuple[np.ndarray, np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+        images, labels = batch
+        q = np.clip(images, 0.0, 1.0)
+        q *= np.float32(65535.0)
+        q += np.float32(0.5)  # round-to-nearest under the truncating cast
+        return q.astype(np.uint16), (labels > 0.5).astype(np.uint8)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         steps = len(self)
@@ -58,7 +72,10 @@ class PrefetchLoader:
                 for _ in range(steps):
                     if stop.is_set():
                         return
-                    q.put(self.sampler.sample_batch(self.batch_size))
+                    batch = self.sampler.sample_batch(self.batch_size)
+                    if self.quantize:
+                        batch = self._quantize_batch(batch)
+                    q.put(batch)
             except Exception as e:  # surface producer errors to the consumer
                 q.put(e)
 
@@ -126,6 +143,7 @@ def get_data_loader(data_dir, split_file, config, is_train: bool = True,
         batch_size = config.training.batch_size
     lesion_ratio = config.training.class_balanced_sampling.lesion_patch_ratio
     prefetch = config.tpu.prefetch_depth
+    quantize = getattr(config.tpu, "transfer_dtype", "float32") == "uint16"
     mixed = config.training.mixed_domains
 
     if mixed.enabled and mixed.mode == "fl_epoch_plus_dlbcl":
@@ -141,8 +159,8 @@ def get_data_loader(data_dir, split_file, config, is_train: bool = True,
         )
         return {
             "mode": "fl_epoch_plus_dlbcl",
-            "fl_loader": PrefetchLoader(fl, batch_size, prefetch),
-            "dlbcl_loader": PrefetchLoader(dlbcl, batch_size, prefetch),
+            "fl_loader": PrefetchLoader(fl, batch_size, prefetch, quantize),
+            "dlbcl_loader": PrefetchLoader(dlbcl, batch_size, prefetch, quantize),
             "fl_dataset": fl,
             "dlbcl_dataset": dlbcl,
         }
@@ -154,11 +172,11 @@ def get_data_loader(data_dir, split_file, config, is_train: bool = True,
         )
         return {
             "mode": "probabilistic",
-            "train_loader": PrefetchLoader(dataset, batch_size, prefetch),
+            "train_loader": PrefetchLoader(dataset, batch_size, prefetch, quantize),
             "train_dataset": dataset,
         }
     sampler = PatchSampler(
         data_dir, split_file, params["patch_size"], lesion_ratio,
         params["seed"], None, params["body_mask_config"], cache,
     )
-    return {"mode": "standard", "train_loader": PrefetchLoader(sampler, batch_size, prefetch)}
+    return {"mode": "standard", "train_loader": PrefetchLoader(sampler, batch_size, prefetch, quantize)}
