@@ -220,7 +220,9 @@ class FusedVolumePipeline:
         posp[:n] = positions
         pmask = np.zeros((n_pad,), np.float32)
         pmask[:n] = 1.0
-        return padded, shape, lo, hi, posp, pmask, chunk
+        # start the H2D uploads HERE, on the worker thread — they then overlap
+        # the D2H fetch of the previous case (opposite link directions)
+        return jnp.asarray(padded), shape, lo, hi, jnp.asarray(posp), jnp.asarray(pmask), chunk
 
     def dispatch(self, params, image_or_prepared):
         cfg = self.cfg

@@ -347,7 +347,13 @@ class SlidingWindowInferencer:
             pm[region] = np.asarray(post_mask) > 0
         else:
             pm = np.zeros((1, 1, 1), dtype=np.uint8)  # unused placeholder
-        return vol_padded, shape, vlo, vhi, pos_padded, mask, pm, chunk, use_post_mask
+        # start the H2D uploads HERE (prepare runs on the worker thread), so
+        # they overlap the D2H fetch of the previous case on the link
+        return (
+            jnp.asarray(vol_padded), shape, vlo, vhi,
+            jnp.asarray(pos_padded), jnp.asarray(mask), jnp.asarray(pm),
+            chunk, use_post_mask,
+        )
 
     def dispatch(self, params, volume, post_mask: Optional[np.ndarray] = None):
         """Start the device computation and return (device_array, orig_shape)
