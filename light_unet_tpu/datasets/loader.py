@@ -143,7 +143,12 @@ def get_data_loader(data_dir, split_file, config, is_train: bool = True,
         batch_size = config.training.batch_size
     lesion_ratio = config.training.class_balanced_sampling.lesion_patch_ratio
     prefetch = config.tpu.prefetch_depth
-    quantize = getattr(config.tpu, "transfer_dtype", "float32") == "uint16"
+    # batch quantization maps [0,1] -> uint16; a non-default normalization
+    # range would be silently clipped, so only engage it for [0,1] data
+    quantize = (
+        getattr(config.tpu, "transfer_dtype", "float32") == "uint16"
+        and list(config.data.intensity.normalization_range) == [0.0, 1.0]
+    )
     mixed = config.training.mixed_domains
 
     if mixed.enabled and mixed.mode == "fl_epoch_plus_dlbcl":

@@ -208,3 +208,41 @@ def test_reference_compatible_aliases():
     assert models.PatchDataset is PatchSampler
     assert models.CaseDataset is CaseDataset
     assert callable(models.filter_cases_by_domain)
+
+
+def test_prefetch_loader_quantized_batches(case_tree):
+    sampler = PatchSampler(case_tree / "data", case_tree / "splits" / "train_list.txt",
+                           patch_size=(16, 16, 16), seed=1)
+    loader = PrefetchLoader(sampler, batch_size=4, prefetch_depth=2, quantize=True)
+    images, labels = next(iter(loader))
+    assert images.dtype == np.uint16 and labels.dtype == np.uint8
+    assert set(np.unique(labels)) <= {0, 1}
+    # dequantized images must match the f32 batch within one quantization
+    # step (training data is preprocessed to [0,1]; the fixture here is raw,
+    # so compare against the clipped reference — the quantizer's [0,1] clip
+    # is a no-op on real preprocessed batches)
+    sampler2 = PatchSampler(case_tree / "data", case_tree / "splits" / "train_list.txt",
+                            patch_size=(16, 16, 16), seed=1)
+    ref_images, ref_labels = next(iter(PrefetchLoader(sampler2, batch_size=4, prefetch_depth=2)))
+    np.testing.assert_allclose(
+        images.astype(np.float32) / 65535.0, np.clip(ref_images, 0.0, 1.0),
+        atol=1.01 / (2 * 65535),
+    )
+    np.testing.assert_array_equal(labels, ref_labels)
+
+
+def test_loader_factory_quantize_guard(case_tree):
+    """uint16 batch quantization maps [0,1]; any other normalization range
+    must keep the exact f32 path (values would be clipped otherwise)."""
+    cfg = Config()
+    cfg.data.patch_size = [16, 16, 16]
+    cfg.data.body_mask.enabled = False
+    cfg.training.batch_size = 2
+    assert cfg.tpu.transfer_dtype == "uint16"
+
+    out = get_data_loader(case_tree / "data", case_tree / "splits" / "train_list.txt", cfg, True)
+    assert out["train_loader"].quantize is True
+
+    cfg.data.intensity.normalization_range = [-1.0, 1.0]
+    out = get_data_loader(case_tree / "data", case_tree / "splits" / "train_list.txt", cfg, True)
+    assert out["train_loader"].quantize is False
