@@ -137,6 +137,9 @@ class Inferencer:
             data_axis=cfg.tpu.data_axis,
             transfer_dtype=cfg.tpu.transfer_dtype,
             fetch_dtype=cfg.tpu.fetch_dtype,
+            # bbox-only serving never fetches the prob map — don't let an
+            # async host copy put it on the link anyway
+            host_prefetch=self.save_prob_maps,
         )
 
         self.prob_maps_dir = Path(self._resolve(cfg.output.prob_maps_dir))

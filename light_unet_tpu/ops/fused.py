@@ -157,8 +157,10 @@ class FusedVolumePipeline:
     compute of case i."""
 
     def __init__(
-        self, apply_fn, config, patch_batch: int = 96, transfer_dtype=None, fetch_dtype=None
+        self, apply_fn, config, patch_batch: int = 96, transfer_dtype=None,
+        fetch_dtype=None, host_prefetch: bool = True,
     ):
+        self.host_prefetch = bool(host_prefetch)
         self.apply_fn = apply_fn
         self.cfg = config
         self.patch_size = tuple(config.data.patch_size)
@@ -247,6 +249,14 @@ class FusedVolumePipeline:
             dequant=self.transfer_dtype == jnp.uint16,
             quantize_out=self.quantize_out,
         )
+        # start the D2H copy as soon as the program finishes, WITHOUT blocking
+        # — fetch() then finds the host buffer (mostly) ready, and the device
+        # can run the next case's program while this result streams back
+        if self.host_prefetch:
+            try:
+                out.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - optional runtime capability
+                pass
         return out, shape
 
     @staticmethod

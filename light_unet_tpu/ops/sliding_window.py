@@ -268,6 +268,7 @@ class SlidingWindowInferencer:
         data_axis: str = "data",
         transfer_dtype: str = "float32",
         fetch_dtype: str = "float32",
+        host_prefetch: bool = True,
     ):
         self.apply_fn = apply_fn
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -283,6 +284,10 @@ class SlidingWindowInferencer:
         # upload as uint8 always (binary -> exact at a quarter of the bytes)
         self.quantize_in = str(transfer_dtype) == "uint16"
         self.quantize_out = str(fetch_dtype) == "uint16"
+        # start the D2H copy when the program finishes, without blocking the
+        # queue — callers that never fetch (bbox-only serving) turn this off
+        # so the prob map doesn't ride the link for nothing
+        self.host_prefetch = bool(host_prefetch)
 
         # optional multi-chip fan-out: patch axis sharded over the mesh
         self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
@@ -390,6 +395,11 @@ class SlidingWindowInferencer:
                 dequant=self.quantize_in,
                 quantize_out=self.quantize_out,
             )
+        if self.host_prefetch:
+            try:
+                out.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - optional runtime capability
+                pass
         return out, shape
 
     @staticmethod
