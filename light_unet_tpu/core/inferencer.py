@@ -233,10 +233,10 @@ class Inferencer:
 
     def infer_case(self, case_id: str, data_dir, threshold: float = 0.3) -> bool:
         data_dir = Path(data_dir)
-        inputs = self._load_case_inputs(case_id, data_dir)
-        if inputs is None:
-            return False
         try:
+            inputs = self._load_case_inputs(case_id, data_dir)
+            if inputs is None:
+                return False
             dispatched = self.sw.dispatch(self.params, inputs["prepared"])
             return self._finalize_case(case_id, inputs, dispatched, threshold)
         except Exception as e:  # noqa: BLE001 - per-case isolation like the reference
