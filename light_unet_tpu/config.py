@@ -343,6 +343,10 @@ class TpuConfig:
     batch_per_device: bool = False
     prefetch_depth: int = 3  # host loader prefetch queue depth
     cache_volumes: bool = True  # keep decoded volumes in host RAM
+    # per-epoch validation metrics computed ON DEVICE (ops/val_metrics.py):
+    # probability maps never leave the chip — only per-threshold component
+    # tables do.  Exact host fallback per case on component-count overflow.
+    device_val_metrics: bool = True
     # Fused Pallas InstanceNorm+LeakyReLU kernel (ops/pallas_kernels.py).
     # Off by default: measured on a v5e chip the XLA lowering wins (59 ms vs
     # 76 ms full forward on 96x48^3 bf16) because it pipelines the two HBM

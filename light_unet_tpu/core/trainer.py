@@ -52,11 +52,7 @@ from light_unet_tpu.core.schedule import LRScheduler
 from light_unet_tpu.datasets.loader import get_data_loader
 from light_unet_tpu.datasets.volume_cache import VolumeCache
 from light_unet_tpu.models.losses import get_loss_function
-from light_unet_tpu.models.metrics import (
-    DEFAULT_SPACING,
-    calculate_metrics,
-    calculate_metrics_sweep,
-)
+from light_unet_tpu.models.metrics import DEFAULT_SPACING
 from light_unet_tpu.models.unet3d import build_model, count_parameters, init_params
 from light_unet_tpu.ops.augment import make_augment_fn
 from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
@@ -171,6 +167,14 @@ class Trainer:
         # --- augmentation + jitted step ------------------------------------
         self.augment_fn = make_augment_fn(cfg.augmentation, tuple(cfg.data.patch_size))
         self._train_step = self._build_train_step()
+
+        # device-resident validation sweep (built lazily on first validate)
+        self._val_sweep = None
+        self._val_sweep_rejected: set = set()
+        # per-case backoff after component-count overflow: early-epoch noise
+        # maps legitimately exceed the device cap, and a wasted device
+        # attempt costs ~2 s — skip the next few validations for that case
+        self._val_overflow_backoff: Dict[str, int] = {}
 
         # --- validation engine ---------------------------------------------
         # runs on the SAME mesh as training: per-epoch sliding windows fan
@@ -362,34 +366,108 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self, epoch: int) -> Tuple[float, Dict]:
+        """Per-epoch threshold-sweep validation.
+
+        TPU-native path (``tpu.device_val_metrics``, default on): probability
+        maps never leave the device — the sweep (threshold → CCL → component
+        stats → pair-intersection tables) runs in one jitted program per case
+        (``ops/val_metrics.py``) and only kilobyte tables cross D2H; the GT
+        id maps are labeled once and stay device-resident across epochs.
+        Exact host fallback per case on component/GT-count overflow.
+        """
         cfg = self.config
         bm = cfg.data.body_mask
         apply_body_mask = bm.apply_to_validation and bm.enabled
         target_spacing = tuple(cfg.data.spacing.target or DEFAULT_SPACING)
         default_threshold = cfg.validation.default_threshold
+        thresholds = cfg.validation.threshold_sensitivity_range or [default_threshold]
+        lm_cfg = cfg.validation.lesion_matching
+        iou_thr = float(lm_cfg.iou_threshold)
+        dist_thr = float(lm_cfg.center_distance_threshold_mm)
 
-        predictions, labels, spacings = [], [], []
+        use_device = bool(getattr(cfg.tpu, "device_val_metrics", True))
+        if use_device and self._val_sweep is None:
+            from light_unet_tpu.ops.val_metrics import DeviceValidationSweep
+
+            self._val_sweep = DeviceValidationSweep(thresholds)
+
+        from light_unet_tpu.models.metrics import SMOOTH, calculate_dsc, lesion_metrics_sweep
+
+        acc = {t: {"tp": 0, "fp": 0, "fn": 0, "inter": 0.0, "union": 0.0, "dsc": []}
+               for t in thresholds}
+        n_cases = 0
+
+        def accumulate(t, tp, fp, fn, inter, union, dsc):
+            a = acc[t]
+            a["tp"] += tp
+            a["fp"] += fp
+            a["fn"] += fn
+            a["inter"] += inter
+            a["union"] += union
+            a["dsc"].append(dsc)
 
         def collect(dispatched, sample):
+            nonlocal n_cases
+            n_cases += 1
+            sp = tuple(sample.spacing or target_spacing)
+            res = None
+            backoff = self._val_overflow_backoff.get(sample.case_id, 0)
+            if backoff > 0:
+                self._val_overflow_backoff[sample.case_id] = backoff - 1
+            elif use_device:
+                vs = self._val_sweep
+                if sample.case_id not in self._val_sweep_rejected and not vs.has_case(sample.case_id):
+                    if not vs.add_case(sample.case_id, sample.label):
+                        self._val_sweep_rejected.add(sample.case_id)
+                if vs.has_case(sample.case_id):
+                    res = vs.case_metrics(
+                        sample.case_id, dispatched[0], sp, iou_thr, dist_thr
+                    )
+                    if res is None:  # overflow: retry only every few epochs
+                        self._val_overflow_backoff[sample.case_id] = 3
+            if res is not None:
+                for t, r in zip(thresholds, res):
+                    dsc = (2.0 * r["inter_sum"] + SMOOTH) / (
+                        r["pred_sum"] + r["gt_sum"] + SMOOTH
+                    )
+                    accumulate(
+                        t, r["tp"], r["fp"], r["fn"], float(r["inter_sum"]),
+                        float(r["pred_sum"] + r["gt_sum"]), dsc,
+                    )
+                return
+            # exact host fallback (body mask was already applied on device)
             prob_map = self.sw.fetch(dispatched)
-            if apply_body_mask and sample.body_mask is not None:
-                prob_map = prob_map * sample.body_mask
-            predictions.append(prob_map)
-            labels.append(sample.label)
-            spacings.append(sample.spacing or target_spacing)
+            lm = lesion_metrics_sweep(
+                prob_map, sample.label, thresholds,
+                iou_threshold=iou_thr, distance_threshold_mm=dist_thr, spacing=sp,
+            )
+            target_bin = (np.asarray(sample.label) >= 0.5).astype(np.int32)
+            t_sum = float(target_bin.sum())
+            for t in thresholds:
+                pred_bin = (prob_map >= t).astype(np.int32)
+                inter = float((pred_bin * target_bin).sum())
+                union = float(pred_bin.sum()) + t_sum
+                r = lm[t]
+                accumulate(t, r["tp"], r["fp"], r["fn"], inter, union,
+                           calculate_dsc(pred_bin, target_bin))
 
         # pipelined like Inferencer.infer_split: dispatch case i+1 before
-        # fetching case i so decode/fetch overlap device compute
+        # collecting case i so fetch/metrics overlap device compute.  The
+        # body mask is multiplied in on device (binary mask: masking before
+        # vs after thresholding is identical).
         pending = None
         for sample in self.val_dataset:
-            dispatched = self.sw.dispatch(self.params, sample.image)
+            post_mask = sample.body_mask if apply_body_mask else None
+            dispatched = self.sw.dispatch(
+                self.params, self.sw.prepare(sample.image, post_mask=post_mask)
+            )
             if pending is not None:
                 collect(*pending)
             pending = (dispatched, sample)
         if pending is not None:
             collect(*pending)
 
-        if not predictions:
+        if not n_cases:
             return 0.0, {
                 "lesion_wise_recall": 0.0,
                 "lesion_wise_precision": 0.0,
@@ -401,12 +479,25 @@ class Trainer:
                 "best_dsc_macro": 0.0,
             }
 
-        thresholds = cfg.validation.threshold_sensitivity_range or [default_threshold]
         tie_threshold = cfg.metrics.model_selection.tie_threshold
 
-        # all thresholds in one sweep: the target-side CCL/centers are
-        # computed once per case instead of once per (case, threshold)
-        sweep = calculate_metrics_sweep(predictions, labels, thresholds, spacing=spacings)
+        def finalize(t) -> Dict:
+            a = acc[t]
+            tp, fp, fn = a["tp"], a["fp"], a["fn"]
+            recall = tp / (tp + fn) if tp + fn else 0.0
+            precision = tp / (tp + fp) if tp + fp else 0.0
+            f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+            return {
+                "lesion_wise_recall": recall,
+                "lesion_wise_precision": precision,
+                "lesion_wise_f1": f1,
+                "voxel_wise_dsc_micro": (2.0 * a["inter"] + SMOOTH) / (a["union"] + SMOOTH),
+                "voxel_wise_dsc_macro": float(np.mean(a["dsc"])) if a["dsc"] else 0.0,
+                "fp_per_case": fp / n_cases,
+                "tp": tp, "fp": fp, "fn": fn,
+            }
+
+        sweep = {t: finalize(t) for t in thresholds}
         best_threshold = thresholds[0]
         best = sweep[best_threshold]
         best_recall = best["lesion_wise_recall"]

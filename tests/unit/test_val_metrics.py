@@ -1,0 +1,147 @@
+"""Device validation sweep must reproduce the host metrics engine exactly.
+
+``DeviceValidationSweep`` computes per-(case, threshold) lesion TP/FP/FN and
+voxel sums from on-device tables; the host oracle is
+``models.metrics.lesion_metrics_sweep`` + direct binarized sums.  Counts are
+exact integers, so equality is strict.
+"""
+
+import numpy as np
+import pytest
+
+from light_unet_tpu.models import metrics as M
+from light_unet_tpu.ops.val_metrics import DeviceValidationSweep
+
+THRESHOLDS = [0.1, 0.3, 0.5, 0.7]
+SPACING = (4.0, 4.0, 4.0)
+
+
+def _make_case(rng, shape=(30, 28, 34), n_lesions=4):
+    target = np.zeros(shape, np.float32)
+    for _ in range(n_lesions):
+        c = rng.integers(4, np.array(shape) - 4)
+        target[c[0] - 2 : c[0] + 2, c[1] - 2 : c[1] + 2, c[2] - 2 : c[2] + 2] = 1
+    prob = np.clip(
+        target * rng.uniform(0.45, 1.0) + rng.random(shape, dtype=np.float32) * 0.35,
+        0, 1,
+    ).astype(np.float32)
+    return prob, target
+
+
+def _host_counts(prob, target, t):
+    lm = M.calculate_lesion_metrics(prob, target, threshold=t, spacing=SPACING)
+    pred_bin = (prob >= t).astype(np.int64)
+    target_bin = (target >= 0.5).astype(np.int64)
+    return {
+        "tp": lm["tp"], "fp": lm["fp"], "fn": lm["fn"],
+        "pred_sum": int(pred_bin.sum()),
+        "gt_sum": int(target_bin.sum()),
+        "inter_sum": int((pred_bin * target_bin).sum()),
+    }
+
+
+@pytest.mark.parametrize("pad", [False, True])
+def test_device_sweep_matches_host(rng, pad):
+    sweep = DeviceValidationSweep(THRESHOLDS, n_gt_cap=16)
+    for case_i in range(3):
+        prob, target = _make_case(rng)
+        cid = f"c{case_i}"
+        assert sweep.add_case(cid, target)
+        import jax.numpy as jnp
+
+        dev_prob = jnp.asarray(prob)
+        if pad:  # simulate the sliding-window engine's z-bucket padding
+            dev_prob = jnp.pad(dev_prob, ((0, 0), (0, 0), (0, 14)))
+        res = sweep.case_metrics(cid, dev_prob, SPACING)
+        assert res is not None
+        for t, got in zip(THRESHOLDS, res):
+            want = _host_counts(prob, target, t)
+            assert got == want, f"case {cid} threshold {t}: {got} != {want}"
+
+
+def test_device_sweep_quantized_prob_input(rng):
+    """uint16 prob maps (the serving fetch_dtype) dequantize in-program."""
+    import jax.numpy as jnp
+
+    sweep = DeviceValidationSweep(THRESHOLDS, n_gt_cap=16)
+    prob, target = _make_case(rng)
+    assert sweep.add_case("q", target)
+    q = jnp.asarray(np.round(prob * 65535.0).astype(np.uint16))
+    res_q = sweep.case_metrics("q", q, SPACING)
+    res_f = sweep.case_metrics("q", jnp.asarray(np.round(prob * 65535) / 65535).astype(jnp.float32), SPACING)
+    assert res_q == res_f
+
+
+def test_overflow_returns_none(rng):
+    import jax.numpy as jnp
+
+    sweep = DeviceValidationSweep([0.8], max_components=8, n_gt_cap=16)
+    prob = rng.random((24, 24, 24), dtype=np.float32)  # sparse speckle at 0.8
+    target = np.zeros_like(prob)
+    target[4:8, 4:8, 4:8] = 1
+    assert sweep.add_case("x", target)
+    assert sweep.case_metrics("x", jnp.asarray(prob), SPACING) is None
+
+
+def test_gt_cap_rejects_case():
+    sweep = DeviceValidationSweep([0.5], n_gt_cap=2)
+    target = np.zeros((20, 20, 20), np.float32)
+    for i in range(4):
+        target[1 + 4 * i : 3 + 4 * i, 1:3, 1:3] = 1  # 4 lesions > cap 2
+    assert not sweep.add_case("many", target)
+    assert not sweep.has_case("many")
+
+
+def test_empty_cases(rng):
+    import jax.numpy as jnp
+
+    sweep = DeviceValidationSweep([0.5], n_gt_cap=8)
+    shape = (16, 16, 16)
+    # empty GT, some predictions
+    assert sweep.add_case("nogt", np.zeros(shape, np.float32))
+    prob = np.zeros(shape, np.float32)
+    prob[4:8, 4:8, 4:8] = 0.9
+    (res,) = sweep.case_metrics("nogt", jnp.asarray(prob), SPACING)
+    assert res["tp"] == 0 and res["fp"] == 1 and res["fn"] == 0
+    # empty predictions, one GT lesion
+    target = np.zeros(shape, np.float32)
+    target[2:5, 2:5, 2:5] = 1
+    assert sweep.add_case("nopred", target)
+    (res,) = sweep.case_metrics("nopred", jnp.zeros(shape), SPACING)
+    assert res["tp"] == 0 and res["fp"] == 0 and res["fn"] == 1
+
+
+def test_trainer_validate_device_vs_host(tmp_path):
+    """Trainer.validate must return identical sweep results with the device
+    sweep on and off (same seed -> same params -> same prob maps)."""
+    import jax
+    from light_unet_tpu.config import Config
+    from light_unet_tpu.core.trainer import Trainer
+    from light_unet_tpu.utils import nifti
+    from tests.synthetic import make_phantom, write_split_files
+
+    rng = np.random.default_rng(3)
+    ids = ["0001", "0002", "0003"]
+    data = tmp_path / "proc"
+    (data / "images").mkdir(parents=True)
+    (data / "labels").mkdir()
+    aff = np.diag([4.0, 4.0, 4.0, 1.0])
+    for cid in ids:
+        img, lab = make_phantom(rng, shape=(28, 28, 32))
+        nifti.save(nifti.Nifti1Image(img.astype(np.float32), aff), data / f"images/{cid}_0000.nii.gz")
+        nifti.save(nifti.Nifti1Image(lab.astype(np.uint8), aff), data / f"labels/{cid}.nii.gz")
+    write_split_files(tmp_path / "splits", ids[:1], ids[1:])
+
+    def build(device_val):
+        cfg = Config()
+        cfg.data.patch_size = [16, 16, 16]
+        cfg.tpu.z_bucket = 16
+        cfg.data.body_mask.enabled = False
+        cfg.tpu.device_val_metrics = device_val
+        cfg.data_dir = str(data)
+        cfg.splits_dir = str(tmp_path / "splits")
+        return Trainer(cfg, workdir=str(tmp_path / ("dev" if device_val else "host")))
+
+    _, m_dev = build(True).validate(0)
+    _, m_host = build(False).validate(0)
+    assert m_dev == m_host
