@@ -24,8 +24,45 @@ from light_unet_tpu.models.metrics import calculate_dsc, lesion_metrics_sweep
 from light_unet_tpu.utils import nifti
 
 
+def _device_case_results(prob_map, label, thresholds, spacing) -> Optional[Dict]:
+    """Threshold sweep on device (``ops/val_metrics.py``): upload the prob
+    map once (f32 — exact thresholding for prob maps of ANY origin, incl.
+    reference-generated ones), get back per-threshold component and
+    intersection tables, derive the same per-case dict as the host path.
+    Returns None on GT/component-count overflow (caller falls back)."""
+    import jax.numpy as jnp
+
+    from light_unet_tpu.models.metrics import SMOOTH
+    from light_unet_tpu.ops.val_metrics import DeviceValidationSweep
+
+    sweep = DeviceValidationSweep(thresholds)
+    if not sweep.add_case("case", label):
+        return None
+    res = sweep.case_metrics(
+        "case", jnp.asarray(np.asarray(prob_map, np.float32)), spacing
+    )
+    if res is None:
+        return None
+    results = {}
+    for threshold, r in zip(thresholds, res):
+        tp, fp, fn = r["tp"], r["fp"], r["fn"]
+        if tp + fp + fn == 0:  # no GT and no predictions: vacuous success
+            recall = precision = f1 = 1.0  # (metrics.py empty-case semantics)
+        else:
+            recall = tp / (tp + fn) if tp + fn else 0.0
+            precision = tp / (tp + fp) if tp + fp else 0.0
+            f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        results[threshold] = {
+            "dsc": (2.0 * r["inter_sum"] + SMOOTH) / (r["pred_sum"] + r["gt_sum"] + SMOOTH),
+            "recall": recall, "precision": precision, "f1": f1,
+            "tp": tp, "fp": fp, "fn": fn,
+        }
+    return results
+
+
 def evaluate_case(
-    case_id: str, prob_maps_dir, data_dir, thresholds, spacing=(4.0, 4.0, 4.0)
+    case_id: str, prob_maps_dir, data_dir, thresholds, spacing=(4.0, 4.0, 4.0),
+    use_device: bool = True,
 ) -> Optional[Dict]:
     prob_path = Path(prob_maps_dir) / f"{case_id}_prob.nii.gz"
     if not prob_path.exists():
@@ -36,6 +73,14 @@ def evaluate_case(
     if not label_files:
         return None
     label = nifti.load(label_files[0]).get_fdata()
+
+    if use_device:
+        try:
+            results = _device_case_results(prob_map, label, thresholds, spacing)
+        except Exception:  # noqa: BLE001 - device path is an accelerator only
+            results = None
+        if results is not None:
+            return results
 
     results = {}
     # ground truth is labeled/centered once for the whole threshold sweep
@@ -70,9 +115,11 @@ def evaluate_split(split_file, prob_maps_dir, data_dir, config: Config) -> Tuple
     print(f"Evaluating {len(case_ids)} cases at {len(thresholds)} thresholds...")
     t0 = time.time()
     spacing = tuple(config.data.spacing.target)
+    use_device = bool(getattr(config.tpu, "device_val_metrics", True))
     all_results = {}
     for cid in case_ids:
-        res = evaluate_case(cid, prob_maps_dir, data_dir, thresholds, spacing=spacing)
+        res = evaluate_case(cid, prob_maps_dir, data_dir, thresholds, spacing=spacing,
+                            use_device=use_device)
         if res is not None:
             all_results[cid] = res
 

@@ -145,3 +145,28 @@ def test_trainer_validate_device_vs_host(tmp_path):
     _, m_dev = build(True).validate(0)
     _, m_host = build(False).validate(0)
     assert m_dev == m_host
+
+
+def test_evaluate_case_device_matches_host(tmp_path, rng):
+    """Evaluate-stage device sweep must equal the host path per case."""
+    from light_unet_tpu.pipeline.evaluate import evaluate_case
+    from light_unet_tpu.utils import nifti
+
+    prob, target = _make_case(rng)
+    aff = np.diag([4.0, 4.0, 4.0, 1.0])
+    (tmp_path / "prob_maps").mkdir()
+    (tmp_path / "data" / "labels").mkdir(parents=True)
+    nifti.save(nifti.Nifti1Image(prob, aff), tmp_path / "prob_maps/0001_prob.nii.gz")
+    nifti.save(
+        nifti.Nifti1Image(target.astype(np.uint8), aff),
+        tmp_path / "data/labels/0001.nii.gz",
+    )
+    dev = evaluate_case("0001", tmp_path / "prob_maps", tmp_path / "data",
+                        THRESHOLDS, spacing=SPACING, use_device=True)
+    host = evaluate_case("0001", tmp_path / "prob_maps", tmp_path / "data",
+                         THRESHOLDS, spacing=SPACING, use_device=False)
+    for t in THRESHOLDS:
+        for k in ("tp", "fp", "fn"):
+            assert dev[t][k] == host[t][k], (t, k)
+        for k in ("dsc", "recall", "precision", "f1"):
+            assert dev[t][k] == pytest.approx(host[t][k], abs=1e-9), (t, k)
