@@ -229,12 +229,16 @@ class DeviceValidationSweep:
         self._gt: Dict[str, Dict] = {}
 
     def add_case(self, case_id: str, label_volume: np.ndarray) -> bool:
-        """Host-label the GT once and keep the id map device-resident.
+        """Host-label the GT once and keep the id map device-resident
+        (uint8 — ids are <= n_gt_cap <= 255, a quarter of the int32 bytes).
         Returns False (case not added) when n_gt exceeds the cap."""
         gt = prepare_gt(label_volume)
-        if gt["n_gt"] > self.n_gt_cap:
+        if gt["n_gt"] > min(self.n_gt_cap, 255):
             return False
-        gt["device_ids"] = jax.device_put(jnp.asarray(gt.pop("labeled")))
+        gt["device_ids"] = {}  # padded variants keyed by shape
+        gt["base_ids"] = jax.device_put(
+            jnp.asarray(gt.pop("labeled").astype(np.uint8))
+        )
         self._gt[case_id] = gt
         return True
 
@@ -252,12 +256,16 @@ class DeviceValidationSweep:
         zero and threshold>0 keeps them background, so the padded program
         is exact as long as the id map is padded the same way."""
         gt = self._gt[case_id]
-        gt_ids = gt["device_ids"]
+        gt_ids = gt["base_ids"]
         if prob_dev.shape != gt_ids.shape:
-            # pad the GT id map once to the prob map's bucket shape
-            pads = [(0, p - s) for p, s in zip(prob_dev.shape, gt_ids.shape)]
-            gt_ids = jnp.pad(gt_ids, pads)
-            gt["device_ids"] = gt_ids
+            # pad the GT id map to the prob map's bucket shape (cached per
+            # shape — always derived from the UNPADDED base map)
+            cached = gt["device_ids"].get(prob_dev.shape)
+            if cached is None:
+                pads = [(0, p - s) for p, s in zip(prob_dev.shape, gt_ids.shape)]
+                cached = jnp.pad(gt_ids, pads)
+                gt["device_ids"][prob_dev.shape] = cached
+            gt_ids = cached
         tables, inters, counts = sweep_tables_device(
             prob_dev, gt_ids, self._thr_dev,
             max_components=self.max_components, n_gt_cap=self.n_gt_cap,
