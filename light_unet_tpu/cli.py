@@ -96,6 +96,12 @@ def run(argv=None) -> int:
     config = _load_config(args)
     workdir = Path(args.workdir)
 
+    # persistent XLA compilation cache: later processes skip the cold-start
+    # compile entirely (BENCH_r02 measured 254.8 s of it over the tunnel)
+    from light_unet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(config.tpu.compilation_cache_dir)
+
     # ensure the standard directory tree exists (main.py:71-77)
     for d in (
         args.data_root,

@@ -343,6 +343,15 @@ class TpuConfig:
     batch_per_device: bool = False
     prefetch_depth: int = 3  # host loader prefetch queue depth
     cache_volumes: bool = True  # keep decoded volumes in host RAM
+    # Training corpus resident in HBM (datasets/device_corpus.py): volumes
+    # are uploaded ONCE (uint16, like serving) and patches are gathered on
+    # device from a [B,4] int32 corner array — per-step H2D drops from
+    # megabytes to bytes.  Falls back to host batch streaming when the
+    # corpus would exceed the budget, when the normalization range is not
+    # [0,1], or when transfer_dtype is float32 (exact-f32 runs keep exact
+    # f32 patches).
+    device_corpus: bool = True
+    device_corpus_budget_gb: float = 6.0
     # per-epoch validation metrics computed ON DEVICE (ops/val_metrics.py):
     # probability maps never leave the chip — only per-threshold component
     # tables do.  Exact host fallback per case on component-count overflow.
@@ -354,6 +363,13 @@ class TpuConfig:
     use_pallas: bool = False
     z_bucket: int = 48  # pad volume Z to multiple (bounds recompiles)
     donate_state: bool = True
+    # Persistent XLA compilation cache: compiled programs are written here
+    # and reused by later processes, so a fresh run's cold-start compile
+    # (~255 s for the full serving program set over the tunneled chip,
+    # BENCH_r02.json) drops to near zero on the second run.  Set to "" to
+    # disable.  "~" expands; applied at CLI/bench startup
+    # (utils/compile_cache.py).
+    compilation_cache_dir: str = "~/.cache/light_unet_tpu/xla"
     # when set, jax.profiler device traces of train/inference are written
     # here (TensorBoard-loadable); LIGHT_UNET_PROFILE env var also works
     profile_dir: Optional[str] = None

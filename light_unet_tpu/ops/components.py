@@ -122,10 +122,14 @@ def bboxes_from_table(
     """Host post-processing of the device table -> reference bbox dicts
     (same schema/ordering as ``core.inferencer.extract_bboxes``).
 
-    Returns None when the component count overflowed the device cap — the
-    caller falls back to the host scipy path (never silently truncates).
+    Returns None when the component count overflowed the device cap, or when
+    the volume exceeds the f32 exactness envelope (flat scan-order keys and
+    integer-valued f32 sums are exact only below 2^24 voxels) — the caller
+    falls back to the host scipy path (never silently truncates).
     """
     if int(n_components) > max_components:
+        return None
+    if int(np.prod(volume_shape)) >= 2**24:
         return None
     table = np.asarray(table)
     voxel_volume_cc = (spacing[0] * spacing[1] * spacing[2]) / 1000.0

@@ -26,12 +26,17 @@ belongs to a pred component and every GT voxel to a GT component, so
 ``pred_sum = Σ sizes``, ``inter = Σ pair-table`` — no probability map ever
 leaves the device.
 
-Exactness: TP/FP/FN and DSC use exact integer counts.  Pred centers are
-f32 segment means (vs scipy's f64) — center-distance matching can differ
-only for pairs within ~1e-4 mm of the 10 mm threshold.  Component-count
+Exactness: EVERYTHING is integer.  Sizes, scan-order keys, and pair
+intersections are int32 segment reductions; coordinate sums are accumulated
+as two int32 parts (low 7 bits / high bits of each coordinate, exact for
+any component smaller than 2^23 voxels on volumes with extents < 4096) and
+recombined in float64 on host — so pred centers equal scipy's
+``center_of_mass`` bit-for-bit, not merely to f32 tolerance.  Component-count
 overflow (> ``max_components``, default 4096 — early-training maps at low
-thresholds are legitimately speckled with thousands of components) is
-detected exactly and the caller falls back to the host path for that case.
+thresholds are legitimately speckled with thousands of components) and the
+(degenerate) >=2^23-voxel-component case are detected exactly and the
+caller falls back to the host path for that case — never a silent
+truncation.
 """
 
 from __future__ import annotations
@@ -45,11 +50,21 @@ import numpy as np
 
 from light_unet_tpu.ops.ccl import label_propagate
 
-# table columns (per pred component row)
+# table columns (per pred component row; ALL int32)
 _COL_SIZE = 0
-_COL_CZ, _COL_CY, _COL_CX = 1, 2, 3
-_COL_FIRST = 4
-_N_COLS = 5
+# coordinate sums, split so each int32 accumulator stays exact: for axis a,
+# sum(coord) == 128 * col[hi_a] + col[lo_a] (recombined in f64 on host)
+_COL_ZLO, _COL_ZHI = 1, 2
+_COL_YLO, _COL_YHI = 3, 4
+_COL_XLO, _COL_XHI = 5, 6
+_COL_FIRST = 7
+_N_COLS = 8
+
+# per-component size bound for exact int32 split-coordinate sums:
+# lo-part sum <= 127 * size, hi-part sum <= (max_extent/128) * size; with
+# extents < 4096 both fit int32 iff size < 2^23 (8.4M voxels — larger than
+# any whole volume this pipeline currently sees)
+_MAX_EXACT_COMPONENT = 1 << 23
 
 
 @partial(jax.jit, static_argnames=("max_components", "n_gt_cap"))
@@ -63,23 +78,24 @@ def sweep_tables_device(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-threshold pred component tables + pair intersections, on device.
 
-    Returns ``(tables [T, C+1, 5], inter [T, C+1, G+1], n_components [T])``
-    where C=max_components, G=n_gt_cap.  Row 0 of each table is background;
-    rows are in arbitrary compact order — sort by the scan-order key
-    (column 4) on host for scipy numbering.  ``n_components`` is EXACT, so
-    overflow (> C) is detectable.
+    Returns ``(tables [T, C+1, 8] i32, inter [T, C+1, G+1] i32,
+    n_components [T] i32)`` where C=max_components, G=n_gt_cap.  Row 0 of
+    each table is background; rows are in arbitrary compact order — sort by
+    the scan-order key (column ``_COL_FIRST``) on host for scipy numbering.
+    ``n_components`` is EXACT, so overflow (> C) is detectable.  All
+    statistics are int32 and exact while every component is smaller than
+    ``_MAX_EXACT_COMPONENT`` voxels (checked on host from the exact sizes).
     """
     if prob.dtype == jnp.uint16:
         prob = prob.astype(jnp.float32) * (1.0 / 65535.0)
     shape = prob.shape
     n = prob.size
-    gt_flat = gt_ids.ravel()
+    gt_flat = gt_ids.ravel().astype(jnp.int32)
     num_pairs = (max_components + 1) * (n_gt_cap + 1)
     seeds = jnp.arange(1, n + 1, dtype=jnp.int32)
-    flat_idx_f = jnp.arange(n, dtype=jnp.float32)
+    flat_idx = jnp.arange(n, dtype=jnp.int32)
     coords = [
-        jax.lax.broadcasted_iota(jnp.int32, shape, a).ravel().astype(jnp.float32)
-        for a in range(3)
+        jax.lax.broadcasted_iota(jnp.int32, shape, a).ravel() for a in range(3)
     ]
 
     def one_threshold(t):
@@ -91,24 +107,26 @@ def sweep_tables_device(
         seed_mask = (flat_labels == seeds) & mask_flat
         n_comp = jnp.sum(seed_mask).astype(jnp.int32)
         # dense ids via the seed-identity (see ops/components.py): sized
-        # nonzero yields sorted unique labels; a 256-element scatter LUT +
-        # one gather produces compact ids without any full-volume sort
+        # nonzero yields sorted unique labels; a scatter LUT + one gather
+        # produces compact ids without any full-volume sort
         seed_idx = jnp.nonzero(seed_mask, size=max_components, fill_value=n)[0]
         ranks = jnp.arange(1, max_components + 1, dtype=jnp.int32)
         lut = jnp.zeros((n + 2,), jnp.int32).at[seed_idx + 1].set(ranks, mode="drop")
         ids = lut[flat_labels]
+        # background voxels carry id 0, so they only ever pollute row 0 of
+        # every segment reduction below — no fg masking of the values needed
 
-        fg = mask_flat.astype(jnp.float32)
+        ones = jnp.ones((n,), jnp.int32)
         sum_cols = jnp.stack(
-            [fg, coords[0] * fg, coords[1] * fg, coords[2] * fg,], axis=1
+            [ones]
+            + [part for c in coords for part in (c & 127, c >> 7)],
+            axis=1,
         )
         sums = jax.ops.segment_sum(sum_cols, ids, num_segments=max_components + 1)
-        sizes = sums[:, 0]
-        centers = sums[:, 1:4] / jnp.maximum(sizes, 1.0)[:, None]
 
         # scan-order key: first (minimum) flat index of each component
-        first = -jax.ops.segment_max(
-            jnp.where(mask_flat, -flat_idx_f, -jnp.float32(3e9)),
+        first = jax.ops.segment_min(
+            jnp.where(mask_flat, flat_idx, jnp.int32(2**31 - 1)),
             ids,
             num_segments=max_components + 1,
         )
@@ -116,10 +134,10 @@ def sweep_tables_device(
         # pair intersections: one segment_sum over joint (pred, gt) ids
         joint = ids * (n_gt_cap + 1) + jnp.minimum(gt_flat, n_gt_cap)
         inter = jax.ops.segment_sum(
-            fg, joint, num_segments=num_pairs
+            ones, joint, num_segments=num_pairs
         ).reshape(max_components + 1, n_gt_cap + 1)
 
-        table = jnp.concatenate([sizes[:, None], centers, first[:, None]], axis=1)
+        table = jnp.concatenate([sums, first[:, None]], axis=1)
         return table, inter, n_comp
 
     tables, inters, counts = jax.lax.map(one_threshold, thresholds)
@@ -148,8 +166,8 @@ def prepare_gt(label_volume: np.ndarray) -> Dict:
 
 
 def metrics_from_tables(
-    table: np.ndarray,       # [C+1, 5] one threshold's pred table (f32)
-    inter: np.ndarray,       # [C+1, G+1]
+    table: np.ndarray,       # [C+1, 8] one threshold's pred table (int32)
+    inter: np.ndarray,       # [C+1, G+1] (int32)
     n_components: int,
     gt: Dict,
     spacing: Sequence[float],
@@ -192,7 +210,16 @@ def metrics_from_tables(
         iou = np.where(union > 0, pair_inter / np.maximum(union, 1), 0.0)
 
     sp = np.asarray(spacing, dtype=np.float64)
-    pc = table[rows][:, [_COL_CZ, _COL_CY, _COL_CX]].astype(np.float64) * sp
+    # recombine the split int32 coordinate sums exactly and divide in f64 —
+    # identical to scipy.ndimage.center_of_mass on the same component
+    coord_sums = np.stack(
+        [
+            128.0 * table[rows, hi].astype(np.int64) + table[rows, lo].astype(np.int64)
+            for lo, hi in ((_COL_ZLO, _COL_ZHI), (_COL_YLO, _COL_YHI), (_COL_XLO, _COL_XHI))
+        ],
+        axis=1,
+    ).astype(np.float64)
+    pc = coord_sums / pred_sizes[:, None].astype(np.float64) * sp
     tc = np.asarray(gt["centers"], dtype=np.float64) * sp
     dist = np.linalg.norm(pc[:, None, :] - tc[None, :, :], axis=2)
 
@@ -266,6 +293,12 @@ class DeviceValidationSweep:
                 cached = jnp.pad(gt_ids, pads)
                 gt["device_ids"][prob_dev.shape] = cached
             gt_ids = cached
+        # int32 exactness envelope: flat indices / joint pair ids must fit
+        # int32, and extents < 4096 keep the split coordinate sums exact
+        # (see _MAX_EXACT_COMPONENT).  Out-of-envelope volumes take the host
+        # path — exact, never truncated.
+        if prob_dev.size >= 2**31 or max(prob_dev.shape) >= 4096:
+            return None
         tables, inters, counts = sweep_tables_device(
             prob_dev, gt_ids, self._thr_dev,
             max_components=self.max_components, n_gt_cap=self.n_gt_cap,
@@ -274,6 +307,8 @@ class DeviceValidationSweep:
         if (counts > self.max_components).any():
             return None
         tables = np.asarray(tables)
+        if tables[:, 1:, _COL_SIZE].max(initial=0) >= _MAX_EXACT_COMPONENT:
+            return None  # a >=2^23-voxel component: host fallback stays exact
         inters = np.asarray(inters)
         return [
             metrics_from_tables(

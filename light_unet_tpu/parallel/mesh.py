@@ -29,7 +29,12 @@ def create_mesh(
         devices = jax.devices()
     devices = np.asarray(devices)
     if mesh_shape is not None:
-        devices = devices.reshape(tuple(mesh_shape))
+        want = int(np.prod(mesh_shape))
+        if want > devices.size:
+            raise ValueError(
+                f"mesh_shape {mesh_shape} needs {want} devices, have {devices.size}"
+            )
+        devices = devices.ravel()[:want].reshape(tuple(mesh_shape))
         axis_names = tuple(f"axis{i}" if i > 0 else data_axis for i in range(devices.ndim))
         return Mesh(devices, axis_names)
     return Mesh(devices, (data_axis,))

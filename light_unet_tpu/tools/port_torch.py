@@ -206,7 +206,8 @@ def is_torch_checkpoint(path) -> bool:
 
 
 def load_torch_checkpoint(
-    path, flax_template: Optional[Dict[str, Any]] = None
+    path, flax_template: Optional[Dict[str, Any]] = None,
+    allow_pickle: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Read a reference ``.pth`` checkpoint -> ``(arrays, meta)`` in this
     framework's checkpoint contract (``core/checkpoint.py``).
@@ -215,10 +216,26 @@ def load_torch_checkpoint(
     (or is a raw ``{"torch_state_dict": ...}`` passthrough otherwise);
     ``meta`` keeps the reference's scalar fields
     (epoch/best_metric/best_recall/..., ``light_unet/core/trainer.py:447-459``).
+
+    Loads with ``weights_only=True`` — reference checkpoints are plain tensor
+    state_dicts plus scalar/history fields, which the safe loader accepts,
+    and ``core/checkpoint.py`` auto-routes ANY non-native file here, so the
+    unrestricted unpickler would make an untrusted ``.pth`` path remote code
+    execution.  ``allow_pickle=True`` is an explicit opt-in for legacy
+    pickles the safe loader rejects (trusted files only).
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickle.UnpicklingError subclass varies by version
+        if not allow_pickle:
+            raise ValueError(
+                f"{path}: torch safe loader (weights_only=True) rejected this "
+                f"checkpoint ({e}). If the file is TRUSTED and uses legacy "
+                f"pickle objects, re-load with allow_pickle=True."
+            ) from e
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
         state_dict = ckpt["model_state_dict"]
     elif isinstance(ckpt, dict) and all(hasattr(v, "shape") for v in ckpt.values()):
