@@ -66,6 +66,36 @@ from light_unet_tpu.parallel.mesh import (
 EPS = 1e-8
 
 
+class _NullWriter:
+    """No-op TensorBoard stand-in: training proceeds on minimal installs."""
+
+    def add_scalar(self, *a, **k):  # noqa: D102
+        pass
+
+    def close(self):  # noqa: D102
+        pass
+
+
+def _make_writer(tb_dir: str):
+    """TensorBoard writer with the reference's scalar-tag surface.  Prefers
+    ``tensorboardX`` (the declared optional requirement), falls back to
+    ``torch.utils.tensorboard``, and degrades to a loud no-op rather than
+    crashing ``--mode train`` on a minimal install."""
+    try:
+        from tensorboardX import SummaryWriter
+    except ImportError:
+        try:
+            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+        except ImportError:
+            print(
+                "WARNING: neither tensorboardX nor torch.utils.tensorboard is "
+                "installed — TensorBoard scalars will not be written "
+                "(pip install tensorboardX to enable)."
+            )
+            return _NullWriter()
+    return SummaryWriter(log_dir=str(tb_dir))
+
+
 def _dtype_from_name(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
@@ -164,9 +194,26 @@ class Trainer:
         )
         self.val_dataset = val_result["val_loader"]
 
+        # --- device-resident training corpus --------------------------------
+        # volumes live in HBM; per-step H2D is a [B,4] corner array and the
+        # jitted step gathers/dequantizes/augments/trains in one program
+        # (datasets/device_corpus.py).  Engages only where the host path
+        # would quantize anyway, so training inputs stay bit-identical.
+        self.corpus = None
+        use_corpus = (
+            getattr(cfg.tpu, "device_corpus", True)
+            and getattr(cfg.tpu, "transfer_dtype", "float32") == "uint16"
+            and [float(v) for v in cfg.data.intensity.normalization_range] == [0.0, 1.0]
+        )
+        if use_corpus:
+            self._install_device_corpus(train_result)
+
         # --- augmentation + jitted step ------------------------------------
         self.augment_fn = make_augment_fn(cfg.augmentation, tuple(cfg.data.patch_size))
         self._train_step = self._build_train_step()
+        self._train_step_corpus = (
+            self._build_train_step(corpus=True) if self.corpus is not None else None
+        )
 
         # device-resident validation sweep (built lazily on first validate)
         self._val_sweep = None
@@ -190,6 +237,11 @@ class Trainer:
             data_axis=cfg.tpu.data_axis,
             transfer_dtype=cfg.tpu.transfer_dtype,
             fetch_dtype=cfg.tpu.fetch_dtype,
+            # with device-side validation metrics the prob map is consumed on
+            # device — prefetching it D2H would push ~12 MB/case over the
+            # link for nothing; host-fallback cases pay one unprefetched
+            # fetch instead (rare: component overflow only)
+            host_prefetch=not bool(getattr(cfg.tpu, "device_val_metrics", True)),
         )
 
         # --- logging / checkpoints ------------------------------------------
@@ -197,9 +249,7 @@ class Trainer:
         Path(log_dir).mkdir(parents=True, exist_ok=True)
         tb_dir = self._resolve(cfg.output.tensorboard_dir)
         Path(tb_dir).mkdir(parents=True, exist_ok=True)
-        from tensorboardX import SummaryWriter
-
-        self.writer = SummaryWriter(log_dir=str(tb_dir))
+        self.writer = _make_writer(tb_dir)
         self.checkpoint_dir = Path(self._resolve(cfg.output.checkpoint_dir))
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
@@ -227,20 +277,60 @@ class Trainer:
         p = Path(p)
         return str(p if p.is_absolute() else self.workdir / p)
 
-    def _build_train_step(self):
+    def _install_device_corpus(self, train_result) -> None:
+        """Build the HBM corpus for the active training mode and swap the
+        host batch loaders for [B,4] corner loaders (same samplers, same rng
+        streams — see ``PatchSampler.draw_index``)."""
+        from light_unet_tpu.datasets.device_corpus import CornerLoader, DeviceCorpus
+
+        cfg = self.config
+        patch = tuple(cfg.data.patch_size)
+        budget = float(getattr(cfg.tpu, "device_corpus_budget_gb", 6.0))
+        mode = train_result["mode"]
+
+        if mode == "standard":
+            sampler = train_result["train_loader"].sampler
+            corpus = DeviceCorpus.build(sampler.cases, self.cache, patch, budget)
+            if corpus is None:
+                return
+            self.corpus = corpus
+            self.train_loader = CornerLoader(sampler, corpus, self.global_batch)
+        elif mode == "probabilistic":
+            ds = train_result["train_dataset"]
+            cases = list(ds.fl_sampler.cases) + list(ds.dlbcl_sampler.cases)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget)
+            if corpus is None:
+                return
+            n_fl = len(ds.fl_sampler.cases)
+            self.corpus = corpus
+            self.train_loader = CornerLoader(
+                ds, corpus, self.global_batch,
+                case_offset_of=lambda which, idx: idx + (n_fl if which else 0),
+            )
+        else:  # fl_epoch_plus_dlbcl: ONE corpus shared by both loaders
+            fl_s = train_result["fl_dataset"]
+            db_s = train_result["dlbcl_dataset"]
+            cases = list(fl_s.cases) + list(db_s.cases)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget)
+            if corpus is None:
+                return
+            n_fl = len(fl_s.cases)
+            self.corpus = corpus
+            self.fl_loader = CornerLoader(fl_s, corpus, self.global_batch)
+            self.dlbcl_loader = CornerLoader(
+                db_s, corpus, self.global_batch,
+                case_offset_of=lambda which, idx: idx + n_fl,
+            )
+        if self.mesh is not None:
+            self.corpus.replicate(self.mesh)
+
+    def _build_train_step(self, corpus: bool = False):
         loss_fn = self.loss_fn
         model = self.model
         augment = self.augment_fn
+        patch = tuple(self.config.data.patch_size)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, images, labels, rng):
-            # quantized uploads (loader's producer thread): dequantize on
-            # device — dtype dispatch happens at trace time, so the f32 path
-            # compiles to exactly what it was before
-            if images.dtype == jnp.uint16:
-                images = images.astype(jnp.float32) * (1.0 / 65535.0)
-            if labels.dtype == jnp.uint8:
-                labels = labels.astype(jnp.float32)
+        def step_core(params, opt_state, images, labels, rng):
             aug_key, dropout_key = jax.random.split(rng)
             images, labels = augment(aug_key, images, labels)
 
@@ -253,20 +343,55 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        if corpus:
+            from light_unet_tpu.datasets.device_corpus import gather_patches
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def corpus_step(params, opt_state, corpus_img, corpus_lbl, corners, rng):
+                # gather -> dequantize -> augment -> fwd/bwd/update: ONE
+                # device program; per-step H2D is the 16-byte/sample corners
+                images, labels = gather_patches(corpus_img, corpus_lbl, corners, patch)
+                images = images.astype(jnp.float32) * (1.0 / 65535.0)
+                labels = labels.astype(jnp.float32)
+                return step_core(params, opt_state, images, labels, rng)
+
+            return corpus_step
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, images, labels, rng):
+            # quantized uploads (loader's producer thread): dequantize on
+            # device — dtype dispatch happens at trace time, so the f32 path
+            # compiles to exactly what it was before
+            if images.dtype == jnp.uint16:
+                images = images.astype(jnp.float32) * (1.0 / 65535.0)
+            if labels.dtype == jnp.uint8:
+                labels = labels.astype(jnp.float32)
+            return step_core(params, opt_state, images, labels, rng)
+
         return train_step
 
     def _set_lr(self, lr: float) -> None:
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
-    def _step_on_batch(self, images: np.ndarray, labels: np.ndarray):
-        """One jitted train step.  Returns the loss as an UN-synchronized
-        device scalar — fetching it would block the dispatch pipeline (the
-        reference syncs every step via ``loss.item()``, trainer.py:234; here
-        callers batch the sync at log points / epoch end)."""
+    def _step_on_batch(self, batch):
+        """One jitted train step.  ``batch`` is either an (images, labels)
+        host pair or a [B,4] int32 corner array (device-corpus mode).
+        Returns the loss as an UN-synchronized device scalar — fetching it
+        would block the dispatch pipeline (the reference syncs every step via
+        ``loss.item()``, trainer.py:234; here callers batch the sync at log
+        points / epoch end)."""
         self.rng, step_key = jax.random.split(self.rng)
-        batch = shard_batch((images, labels), self.mesh, self.config.tpu.data_axis)
+        if isinstance(batch, np.ndarray) and batch.ndim == 2:  # corpus corners
+            corners = shard_batch(batch, self.mesh, self.config.tpu.data_axis)
+            self.params, self.opt_state, loss = self._train_step_corpus(
+                self.params, self.opt_state,
+                self.corpus.images, self.corpus.labels, corners, step_key,
+            )
+            return loss
+        images, labels = batch
+        sharded = shard_batch((images, labels), self.mesh, self.config.tpu.data_axis)
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, batch[0], batch[1], step_key
+            self.params, self.opt_state, sharded[0], sharded[1], step_key
         )
         return loss
 
@@ -282,8 +407,8 @@ class Trainer:
         n_total = len(self.train_loader)
         log_every = max(1, n_total // 5)
         t0 = time.time()
-        for images, labels in self.train_loader:
-            device_losses.append(self._step_on_batch(images, labels))
+        for batch in self.train_loader:
+            device_losses.append(self._step_on_batch(batch))
             num_batches = len(device_losses)
             if num_batches % log_every == 0 or num_batches == n_total:
                 rate = num_batches / max(time.time() - t0, 1e-9)
@@ -320,19 +445,19 @@ class Trainer:
         )
 
         fl_losses = []
-        for images, labels in self.fl_loader:
-            fl_losses.append(self._step_on_batch(images, labels))
+        for batch in self.fl_loader:
+            fl_losses.append(self._step_on_batch(batch))
 
         dlbcl_losses = []
         if dlbcl_steps > 0:
             it = iter(self.dlbcl_loader)
             for _ in range(dlbcl_steps):
                 try:
-                    images, labels = next(it)
+                    batch = next(it)
                 except StopIteration:
                     it = iter(self.dlbcl_loader)
-                    images, labels = next(it)
-                dlbcl_losses.append(self._step_on_batch(images, labels))
+                    batch = next(it)
+                dlbcl_losses.append(self._step_on_batch(batch))
 
         # one bulk sync for the whole epoch, then per-step TB scalars
         fl_vals = [float(l) for l in fl_losses]

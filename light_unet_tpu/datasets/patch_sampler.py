@@ -120,8 +120,14 @@ class PatchSampler:
             lbl = np.pad(lbl, pad)
         return img, lbl
 
-    def draw(self) -> Tuple[np.ndarray, np.ndarray]:
-        """One (image, label) patch pair, float32 [pz,py,px]."""
+    def draw_index(self) -> Tuple[int, int, np.ndarray]:
+        """One draw WITHOUT touching pixel data: ``(0, case_idx, center)``.
+
+        Exactly the rng-call sequence of ``draw()`` (one ``random()`` for the
+        lesion/background choice, one ``integers()`` for the location pick),
+        so a device-corpus run consumes the stream identically to a host
+        run — same seed => same patch sequence on either path.  The leading
+        0 is the sub-sampler id (``MixedPatchSampler`` uses it)."""
         use_lesion = self.rng.random() < self.lesion_patch_ratio and self.lesion_locations
         if use_lesion:
             case_idx, center = self.lesion_locations[self.rng.integers(len(self.lesion_locations))]
@@ -131,6 +137,11 @@ class PatchSampler:
             ]
         else:
             case_idx, center = self.lesion_locations[self.rng.integers(len(self.lesion_locations))]
+        return 0, case_idx, center
+
+    def draw(self) -> Tuple[np.ndarray, np.ndarray]:
+        """One (image, label) patch pair, float32 [pz,py,px]."""
+        _, case_idx, center = self.draw_index()
         case = self.cases[case_idx]
         image = self.cache.get(case.image_path)
         label = self.cache.get(case.label_path)
@@ -194,15 +205,31 @@ class MixedPatchSampler:
     def __len__(self) -> int:
         return len(self.fl_sampler) + len(self.dlbcl_sampler)
 
-    def draw(self):
+    @property
+    def patch_size(self):
+        return self.fl_sampler.patch_size
+
+    def draw_index(self) -> Tuple[int, int, np.ndarray]:
+        """``(sub_sampler, case_idx, center)`` with sub_sampler 0=FL 1=DLBCL;
+        same rng sequence as ``draw()`` (domain pick, then the sub-sampler's
+        two calls), and the Domain/* sample counts still accumulate."""
         if self.rng.random() < self.fl_ratio and len(self.fl_sampler) > 0:
             self.fl_sample_count += 1
-            return self.fl_sampler.draw()
+            return (0, *self.fl_sampler.draw_index()[1:])
         if len(self.dlbcl_sampler) > 0:
             self.dlbcl_sample_count += 1
-            return self.dlbcl_sampler.draw()
+            return (1, *self.dlbcl_sampler.draw_index()[1:])
         self.fl_sample_count += 1
-        return self.fl_sampler.draw()
+        return (0, *self.fl_sampler.draw_index()[1:])
+
+    def draw(self):
+        which, case_idx, center = self.draw_index()
+        sampler = self.fl_sampler if which == 0 else self.dlbcl_sampler
+        case = sampler.cases[case_idx]
+        image = sampler.cache.get(case.image_path)
+        label = sampler.cache.get(case.label_path)
+        img, lbl = sampler._extract_patch(image, label, center)
+        return img.astype(np.float32), lbl.astype(np.float32)
 
     def sample_batch(self, batch_size: int):
         imgs, lbls = zip(*(self.draw() for _ in range(batch_size)))
