@@ -239,6 +239,14 @@ def bench_torch_cpu_baseline(tmpdir: Path, cid: str, sample_patches: int = 6) ->
 def main():
     import tempfile
 
+    # persistent XLA compilation cache: a second bench run in a fresh
+    # process reuses all compiled programs (compile_seconds ~0); set
+    # LIGHT_UNET_NO_COMPILE_CACHE=1 to measure true cold starts
+    from light_unet_tpu.config import TpuConfig
+    from light_unet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(TpuConfig().compilation_cache_dir)
+
     with tempfile.TemporaryDirectory() as td:
         tmpdir = Path(td)
         ids = _make_volumes(tmpdir, N_VOLUMES)
