@@ -195,10 +195,14 @@ class Trainer:
         self.val_dataset = val_result["val_loader"]
 
         # --- device-resident training corpus --------------------------------
-        # volumes live in HBM; per-step H2D is a [B,4] corner array and the
-        # jitted step gathers/dequantizes/augments/trains in one program
-        # (datasets/device_corpus.py).  Engages only where the host path
-        # would quantize anyway, so training inputs stay bit-identical.
+        # volumes live in HBM; per-step H2D is a [B,4] corner array.  The
+        # patch gather is its OWN jitted program feeding the unchanged train
+        # step: fusing it into the step makes XLA compose the dynamic-slice
+        # gather with the augmentation's map_coordinates gather against the
+        # full corpus stack — measured +57 ms/step at batch 8 on the real
+        # chip, while the standalone gather is free (docs/PERFORMANCE.md,
+        # "Device-resident training corpus").  Engages only where the host
+        # path would quantize anyway, so training inputs stay bit-identical.
         self.corpus = None
         use_corpus = (
             getattr(cfg.tpu, "device_corpus", True)
@@ -211,9 +215,11 @@ class Trainer:
         # --- augmentation + jitted step ------------------------------------
         self.augment_fn = make_augment_fn(cfg.augmentation, tuple(cfg.data.patch_size))
         self._train_step = self._build_train_step()
-        self._train_step_corpus = (
-            self._build_train_step(corpus=True) if self.corpus is not None else None
-        )
+        self._gather_patches = None
+        if self.corpus is not None:
+            from light_unet_tpu.datasets.device_corpus import gather_patches
+
+            self._gather_patches = jax.jit(gather_patches, static_argnums=(3,))
 
         # device-resident validation sweep (built lazily on first validate)
         self._val_sweep = None
@@ -324,11 +330,10 @@ class Trainer:
         if self.mesh is not None:
             self.corpus.replicate(self.mesh)
 
-    def _build_train_step(self, corpus: bool = False):
+    def _build_train_step(self):
         loss_fn = self.loss_fn
         model = self.model
         augment = self.augment_fn
-        patch = tuple(self.config.data.patch_size)
 
         def step_core(params, opt_state, images, labels, rng):
             aug_key, dropout_key = jax.random.split(rng)
@@ -342,20 +347,6 @@ class Trainer:
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
-
-        if corpus:
-            from light_unet_tpu.datasets.device_corpus import gather_patches
-
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def corpus_step(params, opt_state, corpus_img, corpus_lbl, corners, rng):
-                # gather -> dequantize -> augment -> fwd/bwd/update: ONE
-                # device program; per-step H2D is the 16-byte/sample corners
-                images, labels = gather_patches(corpus_img, corpus_lbl, corners, patch)
-                images = images.astype(jnp.float32) * (1.0 / 65535.0)
-                labels = labels.astype(jnp.float32)
-                return step_core(params, opt_state, images, labels, rng)
-
-            return corpus_step
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, images, labels, rng):
@@ -383,9 +374,15 @@ class Trainer:
         self.rng, step_key = jax.random.split(self.rng)
         if isinstance(batch, np.ndarray) and batch.ndim == 2:  # corpus corners
             corners = shard_batch(batch, self.mesh, self.config.tpu.data_axis)
-            self.params, self.opt_state, loss = self._train_step_corpus(
-                self.params, self.opt_state,
-                self.corpus.images, self.corpus.labels, corners, step_key,
+            # standalone gather dispatch (see __init__ for why it is NOT
+            # fused into the train step); output stays on device, the train
+            # step's uint16/uint8 dequantize path consumes it unchanged
+            images, labels = self._gather_patches(
+                self.corpus.images, self.corpus.labels, corners,
+                tuple(self.config.data.patch_size),
+            )
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, images, labels, step_key
             )
             return loss
         images, labels = batch

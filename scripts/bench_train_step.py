@@ -42,44 +42,66 @@ def make_trainer(tmp: Path, device_corpus: bool, batch: int):
     return Trainer(cfg, workdir=str(tmp / ("w_corpus" if device_corpus else "w_host")))
 
 
-def bench_mode(tmp: Path, device_corpus: bool, batch: int) -> dict:
-    import jax
+class ModeBench:
+    """One trainer + its data iterator; measures a segment on demand so the
+    two modes can be A/B-interleaved within one session (the tunneled link
+    drifts on multi-minute scales — adjacent segments are the only fair
+    comparison; see CLAUDE.md)."""
 
-    t = make_trainer(tmp, device_corpus, batch)
-    loader = t.train_loader
-    it = iter(loader)
+    def __init__(self, tmp: Path, device_corpus: bool, batch: int):
+        self.t = make_trainer(tmp, device_corpus, batch)
+        self.loader = self.t.train_loader
+        self.it = iter(self.loader)
+        loss = self._step_once()  # compile
+        _ = float(loss)           # sync
 
-    def step_once():
-        nonlocal it
+    def _step_once(self):
         try:
-            b = next(it)
+            b = next(self.it)
         except StopIteration:
-            it = iter(loader)
-            b = next(it)
-        return t._step_on_batch(b)
+            self.it = iter(self.loader)
+            b = next(self.it)
+        return self.t._step_on_batch(b)
 
-    loss = step_once()  # compile
-    _ = float(loss)     # sync
-    times = []
-    for _ in range(STEPS):
+    def segment(self) -> tuple:
+        times = []
+        for _ in range(STEPS):
+            t0 = time.time()
+            loss = self._step_once()
+            _ = float(loss)  # per-step sync: isolates true per-step latency
+            times.append(time.time() - t0)
+        med = statistics.median(times)
+        # pipelined rate: dispatch all steps, sync once (the trainer's real mode)
         t0 = time.time()
-        loss = step_once()
-        _ = float(loss)  # per-step sync: isolates true per-step latency
-        times.append(time.time() - t0)
-    med = statistics.median(times)
-    # pipelined rate: dispatch all steps, sync once (the trainer's real mode)
-    t0 = time.time()
-    losses = [step_once() for _ in range(STEPS)]
-    _ = [float(l) for l in losses]
-    piped = (time.time() - t0) / STEPS
-    return {
-        "mode": "corpus" if device_corpus else "host",
-        "batch": batch,
-        "step_ms_median_synced": round(med * 1e3, 1),
-        "step_ms_pipelined": round(piped * 1e3, 1),
-        "steps_per_sec_pipelined": round(1.0 / piped, 2),
-        "corpus_active": t.corpus is not None,
-    }
+        losses = [self._step_once() for _ in range(STEPS)]
+        _ = [float(l) for l in losses]
+        piped = (time.time() - t0) / STEPS
+        return med, piped
+
+
+def bench_batch(tmp: Path, batch: int, segments: int = 3) -> list:
+    host = ModeBench(tmp, False, batch)
+    corpus = ModeBench(tmp, True, batch)
+    res = {False: {"synced": [], "piped": []}, True: {"synced": [], "piped": []}}
+    for _ in range(segments):
+        for mode, b in ((False, host), (True, corpus)):
+            med, piped = b.segment()
+            res[mode]["synced"].append(med)
+            res[mode]["piped"].append(piped)
+    out = []
+    for mode in (False, True):
+        med = statistics.median(res[mode]["synced"])
+        piped = statistics.median(res[mode]["piped"])
+        out.append({
+            "mode": "corpus" if mode else "host",
+            "batch": batch,
+            "step_ms_median_synced": round(med * 1e3, 1),
+            "step_ms_pipelined": round(piped * 1e3, 1),
+            "steps_per_sec_pipelined": round(1.0 / piped, 2),
+            "piped_segments_ms": [round(x * 1e3, 1) for x in res[mode]["piped"]],
+            "corpus_active": (corpus if mode else host).t.corpus is not None,
+        })
+    return out
 
 
 def main():
@@ -105,11 +127,8 @@ def main():
             nifti.save(nifti.Nifti1Image(img.astype(np.float32), np.diag([4, 4, 4, 1])), p)
         write_split_files(tmp / "splits", ids, ids[:1])
 
-        results = []
         for batch in (2, 8, 32):
-            for corpus in (False, True):
-                r = bench_mode(tmp, corpus, batch)
-                results.append(r)
+            for r in bench_batch(tmp, batch):
                 print(json.dumps(r), flush=True)
 
 
