@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Reference-scale dress rehearsal (VERDICT r2 missing#2).
+
+Generates a synthetic cohort at the reference's operating point — 123 cases
+at whole-body volume sizes (reference: 123 FL cases, seed-42 70/15/15 split
+-> 86/18/19, ``/root/reference/scripts/split_dataset.py:3``) — and runs the
+full 5-stage pipeline (``--mode all``) with the flagship config, epochs
+capped, keeping the reference's per-epoch 7-threshold validation.  Records
+the evidence VERDICT asks for: per-stage wall time, epoch wall time
+(train + validation), peak host RSS (VolumeCache at ~GB scale), device
+corpus/GT-map residency, checkpoint rotation, early-stop/model-selection
+behavior.
+
+Run on the real chip:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/full_scale_rehearsal.py \
+      --workdir /root/rehearsal --epochs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import resource
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+N_CASES = 123          # reference cohort size (split_dataset.py:3)
+SHAPE = (144, 144, 272)  # whole-body FOV at 4 mm
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+
+
+def generate_cohort(raw_dir: Path, z_jitter: bool = True) -> None:
+    """123 phantoms at whole-body scale.  Z extents jitter across the
+    reference's real-world spread to exercise z-bucketing + the corpus
+    bucket, exactly like a heterogeneous clinical cohort."""
+    from light_unet_tpu.utils import nifti
+    from tests.synthetic import make_phantom
+
+    rng = np.random.default_rng(42)
+    aff = np.diag([4.0, 4.0, 4.0, 1.0])
+    (raw_dir / "images").mkdir(parents=True, exist_ok=True)
+    (raw_dir / "labels").mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    for i in range(N_CASES):
+        cid = f"{i:04d}"  # 0000-0122: all inside the FL id range (<=122)
+        z = SHAPE[2] + (int(rng.integers(-3, 4)) * 8 if z_jitter else 0)
+        img, lab = make_phantom(
+            rng, shape=(SHAPE[0], SHAPE[1], z), n_lesions=int(rng.integers(2, 7)),
+            lesion_radius=(2, 5),
+        )
+        nifti.save(nifti.Nifti1Image(img.astype(np.float32), aff),
+                   raw_dir / "images" / f"{cid}_0000.nii.gz")
+        nifti.save(nifti.Nifti1Image(lab.astype(np.uint8), aff),
+                   raw_dir / "labels" / f"{cid}.nii.gz")
+        if (i + 1) % 20 == 0:
+            print(f"  cohort: {i + 1}/{N_CASES} ({time.time() - t0:.0f}s)", flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", type=str, required=True)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    from light_unet_tpu import cli
+    from light_unet_tpu.config import Config
+
+    work = Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    raw = work / "data" / "raw"
+
+    stages: dict = {}
+    if not args.skip_generate:
+        t0 = time.time()
+        generate_cohort(raw)
+        stages["generate_cohort_s"] = round(time.time() - t0, 1)
+        print(f"cohort generated in {stages['generate_cohort_s']}s, "
+              f"rss {rss_gb():.2f} GB", flush=True)
+
+    # flagship config, epochs capped; per-epoch 7-threshold validation kept
+    cfg = Config.load("configs/unet_fl70.yaml")
+    cfg.training.epochs = args.epochs
+    cfg.training.scheduler.T_max = args.epochs
+    cfg.training.warmup_epochs = 1
+    # evidence VERDICT asks for: checkpoint rotation must actually engage
+    # within the capped run (flagship default saves every 10 epochs)
+    cfg.output.save_every_n_epochs = 1
+    cfg.output.keep_last_n_checkpoints = 2
+    cfg_path = work / "rehearsal_config.yaml"
+    cfg.save(str(cfg_path))
+
+    argv_common = [
+        "--config", str(cfg_path),
+        "--raw_dir", str(raw),
+        "--data_dir", str(work / "data" / "processed"),
+        "--splits_dir", str(work / "data" / "splits"),
+        "--workdir", str(work),
+        "--allow_test",
+    ]
+    for mode in ("split", "preprocess", "train", "inference", "evaluate"):
+        t0 = time.time()
+        rc = cli.run(["--mode", mode, *argv_common])
+        stages[f"{mode}_s"] = round(time.time() - t0, 1)
+        print(f"== stage {mode}: rc={rc} {stages[f'{mode}_s']}s "
+              f"rss {rss_gb():.2f} GB ==", flush=True)
+        if rc not in (0, None):
+            print(json.dumps({"failed_stage": mode, "stages": stages}))
+            return 1
+
+    # evidence: checkpoint rotation + history
+    ckpts = sorted(p.name for p in (work / "models" / "checkpoints").glob("*.pth"))
+    hist_path = work / "logs" / "training_history.json"
+    hist = json.loads(hist_path.read_text()) if hist_path.exists() else {}
+    out = {
+        "n_cases": N_CASES,
+        "epochs": args.epochs,
+        "stages": stages,
+        "peak_rss_gb": round(rss_gb(), 2),
+        "checkpoints": ckpts,
+        "best_recall": hist.get("best_recall"),
+        "best_dsc": hist.get("best_dsc"),
+        "val_recall": hist.get("history", hist).get("val_recall"),
+        "val_best_threshold": hist.get("history", hist).get("val_best_threshold"),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

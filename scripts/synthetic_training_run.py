@@ -100,6 +100,10 @@ def main() -> int:
         "learning_rate": [round(x, 6) for x in result["history"]["learning_rate"]],
         "workdir": str(workdir),
     }
+    if args.mixed_mode == "probabilistic" and trainer.train_dataset is not None:
+        # cumulative sampler draws — Domain/fl_ratio evidence (should sit
+        # near mixed_domains.fl_ratio; the per-epoch TB scalars mirror this)
+        out["domain_sample_counts"] = trainer.train_dataset.get_sample_counts()
     line = json.dumps(out)
     print(line)
     if args.out:
