@@ -10,10 +10,13 @@ that execution model (with a quantizing prefetch thread); at batch 8 the
 TPU-native restructuring (VERDICT r2 weak#1): the training volumes are
 uploaded ONCE — uint16-quantized exactly like the serving path — and stay
 resident in HBM; each step the host sends only a ``[B, 4]`` int32 corner
-array (case index + patch corner) and the jitted train step gathers the
-48^3 patches with a vmapped ``dynamic_slice`` (the same primitive the
-sliding-window engine uses), dequantizes, augments, and trains in ONE fused
-program.  Per-step H2D drops from megabytes to 16 bytes/sample.
+array (case index + patch corner); a standalone jitted gather program
+(``gather_patches``, vmapped ``dynamic_slice`` — the same primitive the
+sliding-window engine uses) assembles the 48^3 patch batch in HBM, feeding
+the unchanged dequantize/augment/train step.  Per-step H2D drops from
+megabytes to 16 bytes/sample.  (Fusing the gather INTO the step was
+measured slower — XLA composes it with the augmentation gather; see
+docs/PERFORMANCE.md "Fused-gather negative result".)
 
 Exactness: corpus quantization uses the identical ``round(clip(v,0,1) *
 65535)`` mapping as the host loader's batch quantization
