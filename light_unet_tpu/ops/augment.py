@@ -7,9 +7,14 @@ order-1 / label order-0), random scale 0.9-1.1 (p 0.3), intensity shift
 +-0.1 with clip [0,1] (p 0.5), Gaussian noise sigma 0.01 with clip (p 0.3).
 
 TPU-first redesign: rotation and scale are composed into ONE affine
-``map_coordinates`` resample (trilinear for the image, nearest for the
-label) executed inside the jitted train step, vmapped over the batch —
-instead of two sequential scipy spline passes per sample on host workers.
+resample (trilinear for the image, nearest for the label) executed inside
+the jitted train step, vmapped over the batch — instead of two sequential
+scipy spline passes per sample on host workers.  Two lowerings of the same
+resample: ``map_coordinates`` (8 unstructured 3-D gathers) and a separable
+form (``separable=True``) that exploits the block-diagonal affine — a 1-D
+interp matmul on the MXU plus an in-plane 4-tap row-gather with
+lane-contiguous rows; identical taps and weights (see
+``_affine_resample_separable``).
 Inactive transforms degrade to exact identities (angle 0 / scale 1 sample at
 integer coordinates), so the branchless form is numerically exact.
 Randomness comes from threaded ``jax.random`` keys: deterministic for a
@@ -57,7 +62,102 @@ def _affine_resample(image, label, angle_rad, axis_pair_idx, scale, pairs):
     return img_out, lbl_out
 
 
-def make_augment_fn(aug_cfg, patch_size: Tuple[int, int, int]) -> Callable:
+def _interp_matrix_1d(n: int, scale):
+    """[n, n] one-dimensional linear-interpolation matrix for scaling about
+    the grid center.  Row k holds the two trilinear taps of source position
+    ``(k - c)/scale + c``; taps outside ``[0, n-1]`` simply have no column,
+    reproducing ``mode="constant", cval=0`` exactly."""
+    c = (n - 1) / 2.0
+    k = jnp.arange(n, dtype=jnp.float32)
+    src = (k - c) / scale + c
+    f = jnp.floor(src)
+    t = src - f
+    cols = jnp.arange(n, dtype=jnp.float32)[None, :]
+    return (cols == f[:, None]) * (1.0 - t[:, None]) + (
+        cols == f[:, None] + 1.0
+    ) * t[:, None]
+
+
+def _affine_resample_separable(image, label, angle_rad, axis_pair_idx, scale, pairs):
+    """The same rotate+scale resample as ``_affine_resample``, restructured
+    for the TPU memory system.
+
+    The affine map is block-diagonal: the rotation mixes only the chosen
+    axis pair, and the third axis is scale-only.  Trilinear interpolation
+    therefore factorizes EXACTLY (same taps, same weights, cval=0) into
+
+    1. a 1-D linear interp along the untouched axis — a dense [n, n]
+       matmul on the MXU instead of a gather, and
+    2. an in-plane 4-tap bilinear whose indices depend only on the plane
+       coordinates — with the untouched axis transposed minor, each tap is
+       ONE row-gather of lane-contiguous [A*B, C] rows, instead of
+       ``map_coordinates``'s 8 fully-unstructured 3-D gathers.
+
+    The label path is the order-0 analogue (nearest index along the
+    untouched axis, one nearest row-gather in-plane).  Differences vs the
+    fused form are pure f32 reassociation (~1e-6); inactive transforms
+    (angle 0, scale 1) stay exact identities because the interp matrix
+    degenerates to the identity matrix and the plane taps to integer rows.
+    """
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+
+    def make_branch(pair):
+        a, b = pair
+        c = ({0, 1, 2} - {a, b}).pop()
+        perm = (a, b, c)
+        inv = tuple(perm.index(i) for i in range(3))
+
+        def run():
+            img = jnp.transpose(image, perm)
+            lab = jnp.transpose(label, perm)
+            na_, nb_, nc_ = img.shape
+            # --- untouched axis: scale via one MXU matmul / nearest take ---
+            m = _interp_matrix_1d(nc_, scale)
+            img = jnp.einsum("abj,kj->abk", img, m)
+            cc = (nc_ - 1) / 2.0
+            src_c = (jnp.arange(nc_, dtype=jnp.float32) - cc) / scale + cc
+            idx_c = jnp.round(src_c)
+            ok_c = ((idx_c >= 0) & (idx_c <= nc_ - 1)).astype(lab.dtype)
+            lab = jnp.take(lab, jnp.clip(idx_c, 0, nc_ - 1).astype(jnp.int32), axis=2)
+            lab = lab * ok_c[None, None, :]
+            # --- rotation plane: row-gathers shared across the minor axis ---
+            ca, cb = (na_ - 1) / 2.0, (nb_ - 1) / 2.0
+            rel_a = jnp.arange(na_, dtype=jnp.float32)[:, None] - ca
+            rel_b = jnp.arange(nb_, dtype=jnp.float32)[None, :] - cb
+            src_a = (cos * rel_a + sin * rel_b) / scale + ca   # [A, B]
+            src_b = (-sin * rel_a + cos * rel_b) / scale + cb
+            fa = jnp.floor(src_a)
+            fb = jnp.floor(src_b)
+            ta, tb = src_a - fa, src_b - fb
+            flat = img.reshape(na_ * nb_, nc_)
+            acc = jnp.zeros_like(img)
+            for da, wa in ((0.0, 1.0 - ta), (1.0, ta)):
+                for db, wb in ((0.0, 1.0 - tb), (1.0, tb)):
+                    ra, rb = fa + da, fb + db
+                    ok = (ra >= 0) & (ra <= na_ - 1) & (rb >= 0) & (rb <= nb_ - 1)
+                    ridx = (
+                        jnp.clip(ra, 0, na_ - 1) * nb_ + jnp.clip(rb, 0, nb_ - 1)
+                    ).astype(jnp.int32)
+                    rows = jnp.take(flat, ridx.reshape(-1), axis=0)
+                    acc = acc + (wa * wb * ok)[..., None] * rows.reshape(img.shape)
+            # label: order-0 = one nearest row-gather
+            ia, ib = jnp.round(src_a), jnp.round(src_b)
+            ok = (ia >= 0) & (ia <= na_ - 1) & (ib >= 0) & (ib <= nb_ - 1)
+            lidx = (
+                jnp.clip(ia, 0, na_ - 1) * nb_ + jnp.clip(ib, 0, nb_ - 1)
+            ).astype(jnp.int32)
+            lab_rows = jnp.take(lab.reshape(na_ * nb_, nc_), lidx.reshape(-1), axis=0)
+            lab_out = lab_rows.reshape(lab.shape) * ok[..., None].astype(lab.dtype)
+            return jnp.transpose(acc, inv), jnp.transpose(lab_out, inv)
+
+        return run
+
+    return jax.lax.switch(axis_pair_idx, [make_branch(p) for p in pairs])
+
+
+def make_augment_fn(
+    aug_cfg, patch_size: Tuple[int, int, int], separable: bool = False
+) -> Callable:
     """Build ``fn(rng, images[B,D,H,W,1], labels) -> (images, labels)``.
 
     ``aug_cfg`` is an ``AugmentationConfig``; all probabilities/ranges are
@@ -112,7 +212,8 @@ def make_augment_fn(aug_cfg, patch_size: Tuple[int, int, int]) -> Callable:
                 scale = jnp.where(
                     hit, jax.random.uniform(keys[6], (), minval=scale_lo, maxval=scale_hi), 1.0
                 )
-            image, label = _affine_resample(image, label, angle, pair_idx, scale, rot_pairs)
+            resample = _affine_resample_separable if separable else _affine_resample
+            image, label = resample(image, label, angle, pair_idx, scale, rot_pairs)
 
         if shift_cfg.get("enabled", False):
             do = jax.random.bernoulli(keys[7], shift_cfg.get("prob", 0.5))

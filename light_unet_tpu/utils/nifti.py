@@ -306,8 +306,17 @@ def load(path: Union[str, Path]) -> Nifti1Image:
     return img
 
 
-def save(img: Nifti1Image, path: Union[str, Path]) -> None:
-    """Write a ``.nii`` / ``.nii.gz`` file (little-endian, vox_offset 352)."""
+def save(
+    img: Nifti1Image, path: Union[str, Path], compresslevel: int = 1
+) -> None:
+    """Write a ``.nii`` / ``.nii.gz`` file (little-endian, vox_offset 352).
+
+    ``compresslevel`` defaults to 1 — the same default nibabel uses for the
+    reference's artifact writes (``nibabel.openers.Opener``) — because on a
+    1-core host gzip level 9 costs seconds per whole-body f32 volume for a
+    few percent smaller files (measured: the rehearsal's inference stage
+    spent most of its per-case wall in level-9 deflate).
+    """
     path = Path(path)
     hdr = img.header
     buf = hdr.to_bytes()
@@ -322,7 +331,9 @@ def save(img: Nifti1Image, path: Union[str, Path]) -> None:
     if str(path).endswith(".gz"):
         # mtime=0 keeps output byte-stable across runs
         with open(path, "wb") as raw:
-            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+            with gzip.GzipFile(
+                fileobj=raw, mode="wb", mtime=0, compresslevel=compresslevel
+            ) as f:
                 f.write(payload)
     else:
         path.write_bytes(payload)

@@ -118,7 +118,7 @@ def main() -> int:
             return 1
 
     # evidence: checkpoint rotation + history
-    ckpts = sorted(p.name for p in (work / "models" / "checkpoints").glob("*.pth"))
+    ckpts = sorted(p.name for p in (work / "models" / "checkpoints").glob("*.ckpt"))
     hist_path = work / "logs" / "training_history.json"
     hist = json.loads(hist_path.read_text()) if hist_path.exists() else {}
     out = {
@@ -127,8 +127,8 @@ def main() -> int:
         "stages": stages,
         "peak_rss_gb": round(rss_gb(), 2),
         "checkpoints": ckpts,
-        "best_recall": hist.get("best_recall"),
-        "best_dsc": hist.get("best_dsc"),
+        "best_recall": max(hist.get("val_recall") or [0.0]) or None,
+        "best_dsc": max(hist.get("val_dsc") or [0.0]) or None,
         "val_recall": hist.get("history", hist).get("val_recall"),
         "val_best_threshold": hist.get("history", hist).get("val_best_threshold"),
     }

@@ -97,6 +97,48 @@ def test_noise_bounded_and_label_untouched(rng):
     np.testing.assert_array_equal(np.asarray(out_lbl), np.asarray(lbl))
 
 
+def test_separable_resample_matches_fused(rng):
+    """``separable=True`` must reproduce the map_coordinates path: identical
+    taps and weights, so images match to f32 reassociation and order-0
+    labels match exactly."""
+    cfg = _all_disabled()
+    cfg.random_rotation = {"enabled": True, "prob": 1.0, "angle_range": [-15, 15],
+                           "axes": [[0, 1], [0, 2], [1, 2]]}
+    cfg.random_scale = {"enabled": True, "prob": 1.0, "scale_range": [0.9, 1.1]}
+    fused = make_augment_fn(cfg, PATCH)
+    sep = make_augment_fn(cfg, PATCH, separable=True)
+    img, lbl = _batch(rng, b=4)
+    for seed in (0, 1, 2):
+        a_img, a_lbl = fused(jax.random.PRNGKey(seed), img, lbl)
+        b_img, b_lbl = sep(jax.random.PRNGKey(seed), img, lbl)
+        np.testing.assert_allclose(
+            np.asarray(a_img), np.asarray(b_img), atol=2e-5, rtol=0
+        )
+        np.testing.assert_array_equal(np.asarray(a_lbl), np.asarray(b_lbl))
+
+
+def test_separable_identity_and_binarity(rng):
+    """Inactive transforms stay exact identities on the separable path, and
+    order-0 keeps label binarity under a real rotation."""
+    cfg = _all_disabled()
+    cfg.random_rotation = {"enabled": True, "prob": 0.0, "angle_range": [-15, 15],
+                           "axes": [[0, 1]]}
+    cfg.random_scale = {"enabled": True, "prob": 0.0, "scale_range": [0.9, 1.1]}
+    fn = make_augment_fn(cfg, PATCH, separable=True)
+    img, lbl = _batch(rng)
+    out_img, out_lbl = fn(jax.random.PRNGKey(3), img, lbl)
+    np.testing.assert_allclose(np.asarray(out_img), np.asarray(img), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_lbl), np.asarray(lbl))
+
+    cfg.random_rotation["prob"] = 1.0
+    fn = make_augment_fn(cfg, PATCH, separable=True)
+    lbl_box = np.zeros((1, *PATCH, 1), np.float32)
+    lbl_box[0, 1:5, 1:5, 1:5, 0] = 1.0
+    _, out = fn(jax.random.PRNGKey(4), jnp.zeros((1, *PATCH, 1), jnp.float32),
+                jnp.asarray(lbl_box))
+    assert set(np.unique(np.asarray(out))).issubset({0.0, 1.0})
+
+
 def test_deterministic_given_key(rng):
     fn = make_augment_fn(AugmentationConfig(), PATCH)
     img, lbl = _batch(rng)

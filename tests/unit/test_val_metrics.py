@@ -147,6 +147,63 @@ def test_trainer_validate_device_vs_host(tmp_path):
     assert m_dev == m_host
 
 
+def test_trainer_validate_resident_inputs(tmp_path):
+    """tpu.device_val_images: the second validation must reuse the cached
+    device-resident prepare() results (no new quantize + upload per case)
+    and return identical metrics; a zero budget falls back to per-epoch
+    prepare with the same results."""
+    from light_unet_tpu.config import Config
+    from light_unet_tpu.core.trainer import Trainer
+    from light_unet_tpu.utils import nifti
+    from tests.synthetic import make_phantom, write_split_files
+
+    rng = np.random.default_rng(7)
+    ids = ["0001", "0002", "0003"]
+    data = tmp_path / "proc"
+    (data / "images").mkdir(parents=True)
+    (data / "labels").mkdir()
+    aff = np.diag([4.0, 4.0, 4.0, 1.0])
+    for cid in ids:
+        img, lab = make_phantom(rng, shape=(28, 28, 32))
+        nifti.save(nifti.Nifti1Image(img.astype(np.float32), aff), data / f"images/{cid}_0000.nii.gz")
+        nifti.save(nifti.Nifti1Image(lab.astype(np.uint8), aff), data / f"labels/{cid}.nii.gz")
+    write_split_files(tmp_path / "splits", ids[:1], ids[1:])
+
+    def build(budget_gb, workdir):
+        cfg = Config()
+        cfg.data.patch_size = [16, 16, 16]
+        cfg.tpu.z_bucket = 16
+        cfg.data.body_mask.enabled = False
+        cfg.tpu.device_val_budget_gb = budget_gb
+        cfg.data_dir = str(data)
+        cfg.splits_dir = str(tmp_path / "splits")
+        trainer = Trainer(cfg, workdir=str(tmp_path / workdir))
+        calls = []
+        orig = trainer.sw.prepare
+
+        def counting_prepare(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        trainer.sw.prepare = counting_prepare
+        return trainer, calls
+
+    trainer, calls = build(2.0, "resident")
+    _, m1 = trainer.validate(0)
+    n_first = len(calls)
+    assert n_first == 2  # one prepare per val case
+    assert trainer._val_prep_bytes > 0
+    _, m2 = trainer.validate(1)
+    assert len(calls) == n_first  # served from the device-resident cache
+    assert m1 == m2
+
+    t0, calls0 = build(0.0, "nobudget")
+    _, m0a = t0.validate(0)
+    _, m0b = t0.validate(1)
+    assert len(calls0) == 4  # budget 0: prepare every epoch
+    assert m0a == m1 and m0b == m1
+
+
 def test_evaluate_case_device_matches_host(tmp_path, rng):
     """Evaluate-stage device sweep must equal the host path per case."""
     from light_unet_tpu.pipeline.evaluate import evaluate_case
