@@ -61,6 +61,7 @@ from light_unet_tpu.parallel.mesh import (
     mesh_from_config,
     replicate,
     shard_batch,
+    shard_chain,
 )
 
 EPS = 1e-8
@@ -220,10 +221,19 @@ class Trainer:
         )
         self._train_step = self._build_train_step()
         self._gather_patches = None
+        self._train_chain = None
+        # K-step chained dispatch (tpu.steps_per_dispatch): ONE program runs
+        # a lax.scan of K gather->augment->step iterations, amortizing the
+        # per-program dispatch RTT (the limiter at small batch over a
+        # remote/tunneled runtime) K-fold.  Corpus mode only — the host path
+        # uploads real pixel batches per step, so chaining cannot help it.
+        self._chain = max(1, int(getattr(cfg.tpu, "steps_per_dispatch", 1)))
         if self.corpus is not None:
             from light_unet_tpu.datasets.device_corpus import gather_patches
 
             self._gather_patches = jax.jit(gather_patches, static_argnums=(3,))
+            if self._chain > 1:
+                self._train_chain = self._build_train_chain()
 
         # device-resident validation sweep (built lazily on first validate)
         self._val_sweep = None
@@ -307,7 +317,8 @@ class Trainer:
 
         if mode == "standard":
             sampler = train_result["train_loader"].sampler
-            corpus = DeviceCorpus.build(sampler.cases, self.cache, patch, budget)
+            cases = list(sampler.cases)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, evict=True)
             if corpus is None:
                 return
             self.corpus = corpus
@@ -315,7 +326,7 @@ class Trainer:
         elif mode == "probabilistic":
             ds = train_result["train_dataset"]
             cases = list(ds.fl_sampler.cases) + list(ds.dlbcl_sampler.cases)
-            corpus = DeviceCorpus.build(cases, self.cache, patch, budget)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, evict=True)
             if corpus is None:
                 return
             n_fl = len(ds.fl_sampler.cases)
@@ -328,7 +339,7 @@ class Trainer:
             fl_s = train_result["fl_dataset"]
             db_s = train_result["dlbcl_dataset"]
             cases = list(fl_s.cases) + list(db_s.cases)
-            corpus = DeviceCorpus.build(cases, self.cache, patch, budget)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, evict=True)
             if corpus is None:
                 return
             n_fl = len(fl_s.cases)
@@ -340,13 +351,33 @@ class Trainer:
             )
         if self.mesh is not None:
             self.corpus.replicate(self.mesh)
+        # With the corpus resident, every remaining pixel read (patch gather,
+        # augmentation, loss) happens in HBM and the samplers' location lists
+        # are already drawn — the decode-once f32 train volumes in the host
+        # cache are dead weight from here on (5.4 GB at the reference's
+        # 86-case scale: 3.6 GB images+body-masks, 1.8 GB labels; measured
+        # via an RSS census, docs/PERFORMANCE.md).  Validation volumes are
+        # untouched (different paths).
+        self.cache.drop(
+            p
+            for case in cases
+            for p in (case.image_path, case.label_path, case.body_mask_path)
+            if p is not None
+        )
 
-    def _build_train_step(self):
+    def _build_step_core(self):
         loss_fn = self.loss_fn
         model = self.model
         augment = self.augment_fn
 
         def step_core(params, opt_state, images, labels, rng):
+            # quantized inputs (loader's producer thread or corpus gather):
+            # dequantize on device — dtype dispatch happens at trace time, so
+            # the f32 path compiles to exactly what it was before
+            if images.dtype == jnp.uint16:
+                images = images.astype(jnp.float32) * (1.0 / 65535.0)
+            if labels.dtype == jnp.uint8:
+                labels = labels.astype(jnp.float32)
             aug_key, dropout_key = jax.random.split(rng)
             images, labels = augment(aug_key, images, labels)
 
@@ -359,18 +390,45 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        return step_core
+
+    def _build_train_step(self):
+        step_core = self._build_step_core()
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, images, labels, rng):
-            # quantized uploads (loader's producer thread): dequantize on
-            # device — dtype dispatch happens at trace time, so the f32 path
-            # compiles to exactly what it was before
-            if images.dtype == jnp.uint16:
-                images = images.astype(jnp.float32) * (1.0 / 65535.0)
-            if labels.dtype == jnp.uint8:
-                labels = labels.astype(jnp.float32)
             return step_core(params, opt_state, images, labels, rng)
 
         return train_step
+
+    def _build_train_chain(self):
+        """K steps in one program: ``lax.scan`` over [K,B,4] corner arrays
+        and [K] step keys.  Per-step math is IDENTICAL to the single-step
+        path (same gather, same key sequence, same step_core), so losses
+        stay bit-identical; only the dispatch granularity changes.  Safe to
+        fuse the gather here: the separable augmentation's interp matmul is
+        a fusion barrier, so XLA can no longer compose the corpus gather
+        with an unstructured resample gather (the round-2 negative result
+        that keeps the SINGLE-step gather a standalone program)."""
+        step_core = self._build_step_core()
+        patch = tuple(self.config.data.patch_size)
+        from light_unet_tpu.datasets.device_corpus import gather_patches
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(6,))
+        def train_chain(params, opt_state, corpus_img, corpus_lbl, corners_k, keys_k, _patch):
+            def body(carry, xs):
+                p, o = carry
+                corners, key = xs
+                images, labels = gather_patches(corpus_img, corpus_lbl, corners, _patch)
+                p, o, loss = step_core(p, o, images, labels, key)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (corners_k, keys_k)
+            )
+            return params, opt_state, losses
+
+        return lambda p, o, ci, cl, ck, kk: train_chain(p, o, ci, cl, ck, kk, patch)
 
     def _set_lr(self, lr: float) -> None:
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -382,6 +440,18 @@ class Trainer:
         would block the dispatch pipeline (the reference syncs every step via
         ``loss.item()``, trainer.py:234; here callers batch the sync at log
         points / epoch end)."""
+        if isinstance(batch, np.ndarray) and batch.ndim == 3:  # chained corners
+            step_keys = []
+            for _ in range(batch.shape[0]):
+                self.rng, k = jax.random.split(self.rng)
+                step_keys.append(k)
+            corners_k = shard_chain(batch, self.mesh, self.config.tpu.data_axis)
+            self.params, self.opt_state, losses = self._train_chain(
+                self.params, self.opt_state,
+                self.corpus.images, self.corpus.labels,
+                corners_k, jnp.stack(step_keys),
+            )
+            return losses
         self.rng, step_key = jax.random.split(self.rng)
         if isinstance(batch, np.ndarray) and batch.ndim == 2:  # corpus corners
             corners = shard_batch(batch, self.mesh, self.config.tpu.data_axis)
@@ -403,6 +473,38 @@ class Trainer:
         )
         return loss
 
+    def _dispatch_units(self, loader):
+        """Group corner batches into [K,B,4] chains when chained dispatch is
+        active (``tpu.steps_per_dispatch`` > 1, corpus mode).  The epoch tail
+        yields a shorter chain (one extra compiled variant, constant across
+        epochs).  Host batches and K=1 pass through untouched."""
+        if self._train_chain is None:
+            yield from loader
+            return
+        buf = []
+        for b in loader:
+            if not (isinstance(b, np.ndarray) and b.ndim == 2):
+                yield b
+                continue
+            buf.append(b)
+            if len(buf) == self._chain:
+                yield np.stack(buf)
+                buf = []
+        if len(buf) == 1:
+            yield buf[0]  # single-step program already exists; reuse it
+        elif buf:
+            yield np.stack(buf)
+
+    @staticmethod
+    def _unit_steps(unit) -> int:
+        return unit.shape[0] if isinstance(unit, np.ndarray) and unit.ndim == 3 else 1
+
+    @staticmethod
+    def _flatten_losses(device_losses) -> list:
+        """Bulk-sync a mix of scalar and [K] chain losses into floats, in
+        step order."""
+        return [float(x) for l in device_losses for x in np.atleast_1d(np.asarray(l))]
+
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> float:
         if self.mode == "fl_epoch_plus_dlbcl":
@@ -415,18 +517,23 @@ class Trainer:
         n_total = len(self.train_loader)
         log_every = max(1, n_total // 5)
         t0 = time.time()
-        for batch in self.train_loader:
+        steps_done = 0
+        next_log = log_every
+        for batch in self._dispatch_units(self.train_loader):
             device_losses.append(self._step_on_batch(batch))
-            num_batches = len(device_losses)
-            if num_batches % log_every == 0 or num_batches == n_total:
-                rate = num_batches / max(time.time() - t0, 1e-9)
-                avg = float(jnp.mean(jnp.stack(device_losses)))
+            steps_done += self._unit_steps(batch)
+            if steps_done >= next_log or steps_done == n_total:
+                next_log = steps_done + log_every
+                rate = steps_done / max(time.time() - t0, 1e-9)
+                avg = float(
+                    jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in device_losses]))
+                )
                 print(
-                    f"  epoch {epoch + 1} step {num_batches}/{n_total} "
+                    f"  epoch {epoch + 1} step {steps_done}/{n_total} "
                     f"loss {avg:.4f} ({rate:.2f} steps/s)",
                     flush=True,
                 )
-        losses = [float(l) for l in device_losses]  # one bulk sync
+        losses = self._flatten_losses(device_losses)  # one bulk sync
         for loss in losses:
             self.writer.add_scalar("Loss/train_step", loss, self._global_step)
             self._global_step += 1
@@ -453,23 +560,28 @@ class Trainer:
         )
 
         fl_losses = []
-        for batch in self.fl_loader:
+        for batch in self._dispatch_units(self.fl_loader):
             fl_losses.append(self._step_on_batch(batch))
 
         dlbcl_losses = []
         if dlbcl_steps > 0:
             it = iter(self.dlbcl_loader)
-            for _ in range(dlbcl_steps):
-                try:
-                    batch = next(it)
-                except StopIteration:
-                    it = iter(self.dlbcl_loader)
-                    batch = next(it)
+
+            def cycled():
+                nonlocal it
+                for _ in range(dlbcl_steps):
+                    try:
+                        yield next(it)
+                    except StopIteration:
+                        it = iter(self.dlbcl_loader)
+                        yield next(it)
+
+            for batch in self._dispatch_units(cycled()):
                 dlbcl_losses.append(self._step_on_batch(batch))
 
         # one bulk sync for the whole epoch, then per-step TB scalars
-        fl_vals = [float(l) for l in fl_losses]
-        dlbcl_vals = [float(l) for l in dlbcl_losses]
+        fl_vals = self._flatten_losses(fl_losses)
+        dlbcl_vals = self._flatten_losses(dlbcl_losses)
         for loss in fl_vals:
             self.writer.add_scalar("Loss/train_step", loss, self._global_step)
             self.writer.add_scalar("Loss/fl_step", loss, self._global_step)

@@ -103,11 +103,15 @@ class DeviceCorpus:
         patch_size: Sequence[int],
         budget_gb: float = 6.0,
         z_bucket: int = 8,
+        evict: bool = False,
     ) -> Optional["DeviceCorpus"]:
         """Decode (via the shared cache), quantize, stack, and upload.
 
         Returns None — host streaming fallback — when the corpus exceeds
-        ``budget_gb`` or there are no cases.
+        ``budget_gb`` or there are no cases.  With ``evict`` the f32 source
+        volumes are dropped from the cache case-by-case as they are
+        quantized into the stack (the corpus serves all later pixel reads),
+        keeping the host-RSS build peak at ~one case instead of the cohort.
         """
         import jax
         import jax.numpy as jnp
@@ -140,13 +144,18 @@ class DeviceCorpus:
             quantize_u16_01(img, img_stack[(i, *region)])
             lbl_stack[(i, *region)] = lbl > 0.5
             keys.append(str(case.image_path))
+            if evict:
+                del img, lbl
+                cache.drop((case.image_path, case.label_path))
 
-        corpus = cls(
-            jax.device_put(jnp.asarray(img_stack)),
-            jax.device_put(jnp.asarray(lbl_stack)),
-            np.asarray(shapes, np.int32),
-            keys,
-        )
+        # stage one stack at a time: dropping the host uint16 stack before
+        # converting the labels halves the transient build peak (~1.5 GB at
+        # the reference's 86-case scale)
+        img_dev = jax.device_put(jnp.asarray(img_stack))
+        del img_stack
+        lbl_dev = jax.device_put(jnp.asarray(lbl_stack))
+        del lbl_stack
+        corpus = cls(img_dev, lbl_dev, np.asarray(shapes, np.int32), keys)
         print(
             f"device_corpus: {n} cases resident in HBM "
             f"({est / (1 << 20):.0f} MB as uint16+uint8, bucket {bucket})"

@@ -95,6 +95,12 @@ class PatchSampler:
                 n = max(10, len(bg_coords) // 5000)
                 idx = self.rng.integers(len(bg_coords), size=n)
                 bg_locs.extend((case_idx, bg_coords[i]) for i in idx)
+            # the body mask's ONLY reader is this pre-sampling pass (patch
+            # extraction never masks — reference patch_dataset.py semantics);
+            # keeping 86 f32 whole-body masks cached costs ~1.9 GB for zero
+            # further reads
+            if case.body_mask_path is not None:
+                self.cache.drop((case.body_mask_path,))
         return lesion_locs, bg_locs
 
     def __len__(self) -> int:

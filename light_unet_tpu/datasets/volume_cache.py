@@ -50,6 +50,17 @@ class VolumeCache:
     def get(self, path: str, dtype=np.float32) -> np.ndarray:
         return self.get_with_header(path, dtype)[0]
 
+    def drop(self, paths) -> int:
+        """Evict specific entries (e.g. train volumes once a device-resident
+        corpus serves all pixel reads).  Returns the number of bytes freed."""
+        freed = 0
+        with self._lock:
+            for path in paths:
+                entry = self._store.pop(str(path), None)
+                if entry is not None:
+                    freed += int(entry[0].nbytes)
+        return freed
+
     def clear(self) -> None:
         with self._lock:
             self._store.clear()

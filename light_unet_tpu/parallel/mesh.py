@@ -57,6 +57,14 @@ def shard_batch(batch, mesh: Optional[Mesh], data_axis: str = "data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_chain(chain, mesh: Optional[Mesh], data_axis: str = "data"):
+    """device_put a [K, B, ...] K-step chain with the BATCH (second) axis
+    sharded — the scan axis K stays replicated."""
+    if mesh is None or np.prod(mesh.devices.shape) == 1:
+        return jax.device_put(chain)
+    return jax.device_put(chain, NamedSharding(mesh, P(None, data_axis)))
+
+
 def replicate(tree, mesh: Optional[Mesh]):
     """device_put a pytree fully replicated over the mesh."""
     if mesh is None or np.prod(mesh.devices.shape) == 1:

@@ -176,3 +176,50 @@ def test_trainer_corpus_mode_loss_bit_identical_to_host_mode(tmp_path):
     losses_corp = [float(t_corp._step_on_batch(b)) for b in t_corp.train_loader]
     assert len(losses_host) == len(losses_corp) > 0
     np.testing.assert_array_equal(np.asarray(losses_host), np.asarray(losses_corp))
+
+    # with the corpus resident, the f32 train volumes must be evicted from
+    # the host cache (5.4 GB of dead weight at reference scale); the host
+    # trainer keeps (and needs) its cached volumes
+    train_paths = {str(p) for c in t_corp.train_loader.sampler.cases
+                   for p in (c.image_path, c.label_path) if p}
+    assert not train_paths & set(t_corp.cache._store.keys())
+    assert len(t_host.cache) > 0
+
+
+def test_chained_dispatch_loss_bit_identical(tmp_path):
+    """tpu.steps_per_dispatch > 1 must produce EXACTLY the losses of K
+    single-step dispatches (same gather, same rng stream, same step math),
+    including the shorter epoch-tail chain."""
+    from light_unet_tpu.core.trainer import Trainer
+
+    data_dir = tmp_path / "processed"
+    rng = np.random.default_rng(11)
+    for cid in ("0001", "0002"):
+        _write_norm_case(data_dir, cid, (20, 20, 24), rng)
+    write_split_files(tmp_path / "splits", ["0001", "0002"], ["0001"])
+
+    def make_cfg(chain):
+        cfg = Config()
+        cfg.data.patch_size = list(PATCH)
+        cfg.data.body_mask.enabled = False
+        cfg.training.batch_size = 4
+        cfg.training.epochs = 1
+        cfg.tpu.compute_dtype = "float32"
+        cfg.tpu.steps_per_dispatch = chain
+        cfg.tpu.compilation_cache_dir = ""
+        cfg.data_dir = str(data_dir)
+        cfg.splits_dir = str(tmp_path / "splits")
+        return cfg
+
+    t1 = Trainer(make_cfg(1), workdir=str(tmp_path / "w1"))
+    t3 = Trainer(make_cfg(3), workdir=str(tmp_path / "w2"))
+    assert t3._train_chain is not None and t3.corpus is not None
+
+    losses1 = [float(t1._step_on_batch(b)) for b in t1._dispatch_units(t1.train_loader)]
+    units = list(t3._dispatch_units(t3.train_loader))
+    n_batches = len(t3.train_loader)
+    # the grouper must cover every batch: full chains + a tail
+    assert sum(t3._unit_steps(u) for u in units) == n_batches
+    assert any(t3._unit_steps(u) > 1 for u in units)
+    losses3 = t3._flatten_losses([t3._step_on_batch(u) for u in units])
+    np.testing.assert_array_equal(np.asarray(losses1), np.asarray(losses3))
