@@ -334,6 +334,16 @@ class TpuConfig:
     # bf16 compute noise; measured 1.14 s -> 0.65 s per map).  Saved NIfTI
     # artifacts stay float32 either way (dequantized on host).
     fetch_dtype: str = "uint16"
+    # Block-sparse D2H fetch (ops/sparse_fetch.py): a body-masked prob map is
+    # exactly zero outside the dilated body (~55-70% of a whole-body volume
+    # plus all bucket padding), so the device packs occupied 8^3 tiles and
+    # the fetch moves count + an occupancy-bucketed tile prefix — link bytes
+    # track the volume's actual body fraction.  Bit-identical reconstruction.
+    # sparse_fetch_frac caps the packed HBM scratch as a fraction of the
+    # grid; below 1.0 an occupancy overflow is detected exactly and falls
+    # back to fetching the dense map, which never left the device.
+    sparse_fetch: bool = False
+    sparse_fetch_frac: float = 1.0
     patch_batch: int = 96  # patches per sliding-window forward chunk (MXU-profiled)
     data_axis: str = "data"  # mesh axis for data parallelism
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
@@ -364,6 +374,12 @@ class TpuConfig:
     # budget keep the per-epoch prepare+upload path.
     device_val_images: bool = True
     device_val_budget_gb: float = 2.0
+    # K-step chained dispatch (corpus mode): one jitted program scans K
+    # gather->augment->train steps, sending K corner arrays in one H2D and
+    # amortizing the per-program dispatch RTT K-fold (the limiter at small
+    # batch over a remote runtime).  Per-step math and rng streams are
+    # bit-identical to K single dispatches.  1 = off.
+    steps_per_dispatch: int = 1
     # Separable augmentation resample (ops/augment.py): the rotate+scale
     # affine is block-diagonal, so trilinear factorizes exactly into a 1-D
     # interp matmul (MXU) + an in-plane 4-tap row-gather — replacing the 8
@@ -428,6 +444,10 @@ class Config:
             raise ConfigError("tpu.transfer_dtype must be float32|bfloat16|uint16")
         if self.tpu.fetch_dtype not in ("float32", "uint16"):
             raise ConfigError("tpu.fetch_dtype must be float32|uint16")
+        if not 0.0 < self.tpu.sparse_fetch_frac <= 1.0:
+            raise ConfigError("tpu.sparse_fetch_frac must be in (0,1]")
+        if self.tpu.steps_per_dispatch < 1:
+            raise ConfigError("tpu.steps_per_dispatch must be >= 1")
         return self
 
     # ------------------------------------------------------------------

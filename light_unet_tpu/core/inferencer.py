@@ -35,6 +35,7 @@ from light_unet_tpu.models.metrics import get_connected_components
 from light_unet_tpu.models.unet3d import build_model, init_params
 from light_unet_tpu.ops.components import bboxes_from_table, component_table_device
 from light_unet_tpu.ops.sliding_window import SlidingWindowInferencer
+from light_unet_tpu.ops.sparse_fetch import SparsePack
 from light_unet_tpu.parallel.mesh import mesh_from_config
 from light_unet_tpu.utils import fastio, nifti
 
@@ -140,6 +141,9 @@ class Inferencer:
             # bbox-only serving never fetches the prob map — don't let an
             # async host copy put it on the link anyway
             host_prefetch=self.save_prob_maps,
+            # block-sparse fetch only pays off when the map is fetched at all
+            sparse_fetch=bool(cfg.tpu.sparse_fetch) and self.save_prob_maps,
+            sparse_fetch_frac=cfg.tpu.sparse_fetch_frac,
         )
 
         self.prob_maps_dir = Path(self._resolve(cfg.output.prob_maps_dir))
@@ -184,6 +188,9 @@ class Inferencer:
 
         cfg = self.config
         prob_dev, vol_shape = dispatched
+        if isinstance(prob_dev, SparsePack):
+            # the dense map stayed on device — candidate extraction uses it
+            prob_dev = prob_dev.dense
         if prob_dev.dtype == jnp.uint16:  # quantized fetch_dtype: dequant on device
             prob_dev = _dequant16(prob_dev)
         # device candidate extraction runs on the still-resident prob map

@@ -39,6 +39,12 @@ from light_unet_tpu.ops.sliding_window import (
     compute_positions,
     sliding_window_core,
 )
+from light_unet_tpu.ops.sparse_fetch import (
+    SparsePack,
+    block_cap,
+    fetch_maybe_sparse,
+    pack_blocks,
+)
 
 
 @partial(
@@ -122,6 +128,7 @@ def normalize_and_body_mask(
         "apply_fn", "patch_size", "chunk",
         "range_min", "range_max", "threshold", "closing_voxels", "keep_largest",
         "dilate_voxels", "apply_mask", "dequant", "quantize_out",
+        "sparse_cap", "sparse_block",
     ),
 )
 def _preprocess_and_infer_jit(
@@ -130,6 +137,7 @@ def _preprocess_and_infer_jit(
     range_min: float, range_max: float,
     threshold: float, closing_voxels: int, keep_largest: bool, dilate_voxels: int,
     apply_mask: bool, dequant: bool = False, quantize_out: bool = False,
+    sparse_cap: int = 0, sparse_block: int = 8,
 ):
     if dequant:
         # uint16 upload: values were quantized on host into [lo, hi] (the
@@ -146,8 +154,12 @@ def _preprocess_and_infer_jit(
     if quantize_out:
         # prob in [0,1] -> uint16 halves the D2H bytes; dequantization error
         # <= 1/(2*65535), far below bf16 compute noise
-        return jnp.round(jnp.clip(prob, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
-    return prob.astype(jnp.float32)
+        out = jnp.round(jnp.clip(prob, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+    else:
+        out = prob.astype(jnp.float32)
+    if sparse_cap > 0:
+        return out, *pack_blocks(out, sparse_block, sparse_cap)
+    return out
 
 
 class FusedVolumePipeline:
@@ -181,6 +193,12 @@ class FusedVolumePipeline:
         )
         fname = str(fetch_dtype or getattr(config.tpu, "fetch_dtype", "float32"))
         self.quantize_out = fname == "uint16"
+        # block-sparse D2H: only occupied 8^3 tiles of the (body-masked,
+        # mostly-zero) probability map ride the link (ops/sparse_fetch.py);
+        # bit-identical, exact overflow -> dense fallback
+        self.sparse_fetch = bool(getattr(config.tpu, "sparse_fetch", False))
+        self.sparse_frac = float(getattr(config.tpu, "sparse_fetch_frac", 1.0))
+        self.sparse_block = 8
 
     def prepare(self, image: np.ndarray) -> tuple:
         """Host-side prep of one volume: percentiles, quantize/pad, patch
@@ -237,6 +255,11 @@ class FusedVolumePipeline:
 
         rng = cfg.data.intensity.normalization_range
         bm = cfg.data.body_mask
+        cap = (
+            block_cap(padded.shape, self.sparse_block, self.sparse_frac)
+            if self.sparse_fetch
+            else 0
+        )
         out = _preprocess_and_infer_jit(
             params, jnp.asarray(padded), jnp.asarray(np.array(shape, np.int32)),
             jnp.float32(lo), jnp.float32(hi), jnp.asarray(posp), jnp.asarray(pmask),
@@ -248,21 +271,26 @@ class FusedVolumePipeline:
             apply_mask=bool(bm.enabled and bm.apply_to_inference),
             dequant=self.transfer_dtype == jnp.uint16,
             quantize_out=self.quantize_out,
+            sparse_cap=cap, sparse_block=self.sparse_block,
         )
+        if cap:
+            out = SparsePack(*out, cap=cap, block=self.sparse_block)
         # start the D2H copy as soon as the program finishes, WITHOUT blocking
         # — fetch() then finds the host buffer (mostly) ready, and the device
         # can run the next case's program while this result streams back
         if self.host_prefetch:
-            try:
-                out.copy_to_host_async()
-            except Exception:  # noqa: BLE001 - optional runtime capability
-                pass
+            arrays = (out.count, out.idx, out.tiles) if cap else (out,)
+            for a in arrays:  # sparse mode: the dense map never rides the link
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # noqa: BLE001 - optional runtime capability
+                    pass
         return out, shape
 
     @staticmethod
     def fetch(dispatched) -> np.ndarray:
         out, shape = dispatched
-        host = np.asarray(out)[: shape[0], : shape[1], : shape[2]]
+        host = fetch_maybe_sparse(out)[: shape[0], : shape[1], : shape[2]]
         if host.dtype == np.uint16:  # quantized D2H -> dequantize on host
             host = host.astype(np.float32)
             host *= np.float32(1.0 / 65535.0)

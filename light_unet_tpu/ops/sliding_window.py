@@ -36,6 +36,12 @@ import numpy as np
 from jax import lax
 
 from light_unet_tpu.ops.gaussian import gaussian_importance_map
+from light_unet_tpu.ops.sparse_fetch import (
+    SparsePack,
+    block_cap,
+    fetch_maybe_sparse,
+    pack_blocks,
+)
 
 
 def compute_positions(
@@ -128,9 +134,22 @@ def sliding_window_core(
     return jnp.where(count > 0, prob / jnp.where(count > 0, count, 1.0), prob)
 
 
+def _finalize_output(out, quantize_out: bool, sparse_cap: int, sparse_block: int):
+    """Shared output stage: optional uint16 quantization, optional
+    block-sparse packing for the D2H fetch (``ops/sparse_fetch.py``)."""
+    if quantize_out:
+        out = jnp.round(jnp.clip(out, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+    if sparse_cap > 0:
+        return out, *pack_blocks(out, sparse_block, sparse_cap)
+    return out
+
+
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "patch_size", "chunk", "use_post_mask", "dequant", "quantize_out"),
+    static_argnames=(
+        "apply_fn", "patch_size", "chunk", "use_post_mask", "dequant",
+        "quantize_out", "sparse_cap", "sparse_block",
+    ),
 )
 def _sliding_window_jit(
     params,
@@ -149,15 +168,15 @@ def _sliding_window_jit(
     use_post_mask: bool,
     dequant: bool = False,
     quantize_out: bool = False,
+    sparse_cap: int = 0,
+    sparse_block: int = 8,
 ):
     if dequant:
         volume = _dequant_volume(volume, true_dims, vlo, vhi)
     out = sliding_window_core(params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk)
     if use_post_mask:
         out = out * post_mask.astype(jnp.float32)
-    if quantize_out:
-        return jnp.round(jnp.clip(out, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
-    return out
+    return _finalize_output(out, quantize_out, sparse_cap, sparse_block)
 
 
 def sliding_window_core_parts(
@@ -269,6 +288,8 @@ class SlidingWindowInferencer:
         transfer_dtype: str = "float32",
         fetch_dtype: str = "float32",
         host_prefetch: bool = True,
+        sparse_fetch: bool = False,
+        sparse_fetch_frac: float = 1.0,
     ):
         self.apply_fn = apply_fn
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -288,6 +309,12 @@ class SlidingWindowInferencer:
         # queue — callers that never fetch (bbox-only serving) turn this off
         # so the prob map doesn't ride the link for nothing
         self.host_prefetch = bool(host_prefetch)
+        # block-sparse D2H (ops/sparse_fetch.py): only occupied 8^3 tiles of
+        # the (mostly-zero, body-masked) map ride the link; bit-identical,
+        # exact overflow -> dense fallback
+        self.sparse_fetch = bool(sparse_fetch)
+        self.sparse_frac = float(sparse_fetch_frac)
+        self.sparse_block = 8
 
         # optional multi-chip fan-out: patch axis sharded over the mesh
         self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
@@ -297,7 +324,8 @@ class SlidingWindowInferencer:
             def _sharded(params, volume, true_dims, vlo, vhi, positions, mask,
                          imp_map, post_mask,
                          *, chunk: int, use_post_mask: bool,
-                         dequant: bool = False, quantize_out: bool = False):
+                         dequant: bool = False, quantize_out: bool = False,
+                         sparse_cap: int = 0, sparse_block: int = 8):
                 if dequant:
                     volume = _dequant_volume(volume, true_dims, vlo, vhi)
                 out = sliding_window_core_sharded(
@@ -306,13 +334,14 @@ class SlidingWindowInferencer:
                 )
                 if use_post_mask:
                     out = out * post_mask.astype(jnp.float32)
-                if quantize_out:
-                    return jnp.round(jnp.clip(out, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
-                return out
+                return _finalize_output(out, quantize_out, sparse_cap, sparse_block)
 
             self._sharded_jit = jax.jit(
                 _sharded,
-                static_argnames=("chunk", "use_post_mask", "dequant", "quantize_out"),
+                static_argnames=(
+                    "chunk", "use_post_mask", "dequant", "quantize_out",
+                    "sparse_cap", "sparse_block",
+                ),
             )
 
     def prepare(self, volume: np.ndarray, post_mask: Optional[np.ndarray] = None):
@@ -380,10 +409,18 @@ class SlidingWindowInferencer:
             self.imp_map,
             jnp.asarray(pm),
         )
+        # cap depends only on the compile bucket shape, so sparse mode adds no
+        # program variants beyond the existing per-bucket set
+        cap = (
+            block_cap(vol_padded.shape, self.sparse_block, self.sparse_frac)
+            if self.sparse_fetch
+            else 0
+        )
         if self.mesh is not None:
             out = self._sharded_jit(
                 *args, chunk=chunk, use_post_mask=use_post_mask,
                 dequant=self.quantize_in, quantize_out=self.quantize_out,
+                sparse_cap=cap, sparse_block=self.sparse_block,
             )
         else:
             out = _sliding_window_jit(
@@ -394,18 +431,26 @@ class SlidingWindowInferencer:
                 use_post_mask=use_post_mask,
                 dequant=self.quantize_in,
                 quantize_out=self.quantize_out,
+                sparse_cap=cap,
+                sparse_block=self.sparse_block,
             )
+        if cap:
+            out = SparsePack(*out, cap=cap, block=self.sparse_block)
         if self.host_prefetch:
-            try:
-                out.copy_to_host_async()
-            except Exception:  # noqa: BLE001 - optional runtime capability
-                pass
+            # sparse mode: only count/idx/tiles ride the link; the dense map
+            # stays on device as the exact-overflow fallback
+            arrays = out.link_arrays() if cap else (out,)
+            for a in arrays:
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # noqa: BLE001 - optional runtime capability
+                    pass
         return out, shape
 
     @staticmethod
     def fetch(dispatched) -> np.ndarray:
         out, shape = dispatched
-        host = np.asarray(out)[: shape[0], : shape[1], : shape[2]]
+        host = fetch_maybe_sparse(out)[: shape[0], : shape[1], : shape[2]]
         if host.dtype == np.uint16:  # quantized D2H -> dequantize on host
             host = host.astype(np.float32)
             host *= np.float32(1.0 / 65535.0)
