@@ -144,11 +144,22 @@ def _finalize_output(out, quantize_out: bool, sparse_cap: int, sparse_block: int
     return out
 
 
+def _apply_post_mask(out, post_mask, mask_packed: bool):
+    """Multiply the (binary) post mask into the probability map.  A packed
+    mask arrives as uint8 bit-planes along the last axis (np.packbits,
+    little bit order — 8x fewer H2D bytes, exact); unpack is one shift+and
+    broadcast on device."""
+    if mask_packed:
+        bits = (post_mask[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        post_mask = bits.reshape(post_mask.shape[0], post_mask.shape[1], -1)
+    return out * post_mask.astype(jnp.float32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "apply_fn", "patch_size", "chunk", "use_post_mask", "dequant",
-        "quantize_out", "sparse_cap", "sparse_block",
+        "quantize_out", "sparse_cap", "sparse_block", "mask_packed",
     ),
 )
 def _sliding_window_jit(
@@ -160,7 +171,7 @@ def _sliding_window_jit(
     positions,
     mask,
     imp_map,
-    post_mask,  # [Dp,Hp,Wp] f32/uint8 multiplied into the result (unused if flag off)
+    post_mask,  # [Dp,Hp,Wp] uint8 (or bit-packed [Dp,Hp,Wp/8]) multiplied into the result
     *,
     apply_fn: Callable,
     patch_size: Tuple[int, int, int],
@@ -170,12 +181,13 @@ def _sliding_window_jit(
     quantize_out: bool = False,
     sparse_cap: int = 0,
     sparse_block: int = 8,
+    mask_packed: bool = False,
 ):
     if dequant:
         volume = _dequant_volume(volume, true_dims, vlo, vhi)
     out = sliding_window_core(params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk)
     if use_post_mask:
-        out = out * post_mask.astype(jnp.float32)
+        out = _apply_post_mask(out, post_mask, mask_packed)
     return _finalize_output(out, quantize_out, sparse_cap, sparse_block)
 
 
@@ -290,6 +302,7 @@ class SlidingWindowInferencer:
         host_prefetch: bool = True,
         sparse_fetch: bool = False,
         sparse_fetch_frac: float = 1.0,
+        pack_mask: bool = True,
     ):
         self.apply_fn = apply_fn
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -315,6 +328,9 @@ class SlidingWindowInferencer:
         self.sparse_fetch = bool(sparse_fetch)
         self.sparse_frac = float(sparse_fetch_frac)
         self.sparse_block = 8
+        # bit-packed body-mask uploads (exact; 8x fewer H2D bytes); skipped
+        # automatically when the padded last axis isn't byte-aligned
+        self.pack_mask = bool(pack_mask)
 
         # optional multi-chip fan-out: patch axis sharded over the mesh
         self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
@@ -325,7 +341,8 @@ class SlidingWindowInferencer:
                          imp_map, post_mask,
                          *, chunk: int, use_post_mask: bool,
                          dequant: bool = False, quantize_out: bool = False,
-                         sparse_cap: int = 0, sparse_block: int = 8):
+                         sparse_cap: int = 0, sparse_block: int = 8,
+                         mask_packed: bool = False):
                 if dequant:
                     volume = _dequant_volume(volume, true_dims, vlo, vhi)
                 out = sliding_window_core_sharded(
@@ -333,14 +350,14 @@ class SlidingWindowInferencer:
                     self.apply_fn, self.patch_size, chunk, self.mesh, self.data_axis,
                 )
                 if use_post_mask:
-                    out = out * post_mask.astype(jnp.float32)
+                    out = _apply_post_mask(out, post_mask, mask_packed)
                 return _finalize_output(out, quantize_out, sparse_cap, sparse_block)
 
             self._sharded_jit = jax.jit(
                 _sharded,
                 static_argnames=(
                     "chunk", "use_post_mask", "dequant", "quantize_out",
-                    "sparse_cap", "sparse_block",
+                    "sparse_cap", "sparse_block", "mask_packed",
                 ),
             )
 
@@ -376,9 +393,13 @@ class SlidingWindowInferencer:
 
         use_post_mask = post_mask is not None
         if use_post_mask:
-            # binary mask -> uint8 upload is exact at a quarter of the bytes
+            # binary mask -> uint8 is exact at a quarter of the f32 bytes;
+            # bit-packing along the padded last axis (np.packbits, little
+            # order) cuts another 8x — the device unpack is one shift+and
             pm = np.zeros(pshape, dtype=np.uint8)
             pm[region] = np.asarray(post_mask) > 0
+            if self.pack_mask and pshape[2] % 8 == 0:
+                pm = np.packbits(pm, axis=2, bitorder="little")
         else:
             pm = np.zeros((1, 1, 1), dtype=np.uint8)  # unused placeholder
         # start the H2D uploads HERE (prepare runs on the worker thread), so
@@ -416,11 +437,16 @@ class SlidingWindowInferencer:
             if self.sparse_fetch
             else 0
         )
+        # a bit-packed mask is recognizable by its 8x-shorter last axis
+        mask_packed = bool(
+            use_post_mask and pm.shape[2] * 8 == vol_padded.shape[2]
+        )
         if self.mesh is not None:
             out = self._sharded_jit(
                 *args, chunk=chunk, use_post_mask=use_post_mask,
                 dequant=self.quantize_in, quantize_out=self.quantize_out,
                 sparse_cap=cap, sparse_block=self.sparse_block,
+                mask_packed=mask_packed,
             )
         else:
             out = _sliding_window_jit(
@@ -433,6 +459,7 @@ class SlidingWindowInferencer:
                 quantize_out=self.quantize_out,
                 sparse_cap=cap,
                 sparse_block=self.sparse_block,
+                mask_packed=mask_packed,
             )
         if cap:
             out = SparsePack(*out, cap=cap, block=self.sparse_block)

@@ -146,3 +146,32 @@ def test_sharded_matches_single_device(tiny, rng):
     np.testing.assert_allclose(
         sharded_q(params, vol, post_mask=mask), single(params, vol) * mask, atol=1e-3
     )
+
+
+def test_packed_mask_upload_bit_identical(tiny, rng):
+    """Bit-packed body-mask uploads (np.packbits, 8x fewer H2D bytes) must
+    reproduce the uint8 mask path EXACTLY, and fall back to unpacked when
+    the padded last axis isn't byte-aligned."""
+    model, params = tiny
+    apply_fn = lambda p, x: model.apply(p, x)
+    vol = rng.random((20, 22, 34), dtype=np.float32)
+    mask = (rng.random(vol.shape) > 0.4).astype(np.float32)
+
+    packed = SlidingWindowInferencer(apply_fn, (16, 16, 16), patch_batch=8, z_bucket=16)
+    unpacked = SlidingWindowInferencer(
+        apply_fn, (16, 16, 16), patch_batch=8, z_bucket=16, pack_mask=False
+    )
+    # packed engaged: prepared mask is 8x narrower on the last axis
+    prep = packed.prepare(vol, post_mask=mask)
+    assert prep[6].shape[2] * 8 == prep[0].shape[2]
+    np.testing.assert_array_equal(
+        packed(params, vol, post_mask=mask), unpacked(params, vol, post_mask=mask)
+    )
+
+    # non-byte-aligned bucket (z_bucket=12 -> padded W=36): silent fallback
+    odd = SlidingWindowInferencer(apply_fn, (16, 16, 16), patch_batch=8, z_bucket=12)
+    prep_odd = odd.prepare(vol, post_mask=mask)
+    assert prep_odd[6].shape == prep_odd[0].shape
+    np.testing.assert_array_equal(
+        odd(params, vol, post_mask=mask), unpacked(params, vol, post_mask=mask)
+    )
