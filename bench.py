@@ -136,7 +136,7 @@ def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
     }
 
 
-def bench_torch_cpu_baseline(tmpdir: Path, cid: str, sample_patches: int = 6) -> dict:
+def bench_torch_cpu_baseline(tmpdir: Path, cid: str, sample_patches: int = 12) -> dict:
     """Reference-style serial pipeline on torch CPU, extrapolated."""
     import torch
     import torch.nn as nn
@@ -216,27 +216,39 @@ def bench_torch_cpu_baseline(tmpdir: Path, cid: str, sample_patches: int = 6) ->
     preprocess_s = time.time() - t0
 
     positions = compute_positions(norm.shape, PATCH, 0.5)
+    patch_times = []
     with torch.no_grad():
         # warmup
         model(torch.zeros(1, 1, *PATCH))
-        t0 = time.time()
         for z, y, x in positions[:sample_patches]:
             patch = norm[z : z + 48, y : y + 48, x : x + 48]
             if patch.shape != PATCH:
                 patch = np.pad(patch, [(0, 48 - s) for s in patch.shape])
             t = torch.from_numpy(np.ascontiguousarray(patch)).float()[None, None]
+            t0 = time.time()
             model(t).squeeze().numpy()
-        per_patch = (time.time() - t0) / sample_patches
+            patch_times.append(time.time() - t0)
+    per_patch = float(np.mean(patch_times))
     total = load_s + preprocess_s + per_patch * len(positions)
     return {
         "volumes_per_sec": 1.0 / total,
         "seconds_per_volume": total,
         "n_patches": int(len(positions)),
         "per_patch_seconds": per_patch,
+        # per-patch spread on the 1-core host: vs_baseline variance across
+        # rounds is dominated by THIS number's host-load sensitivity (the
+        # r01->r02 baseline drifted 44%) — quote it so the ratio explains
+        # itself; the absolute TPU volumes/sec is the primary metric
+        "per_patch_seconds_min": float(np.min(patch_times)),
+        "per_patch_seconds_max": float(np.max(patch_times)),
+        "per_patch_seconds_std": float(np.std(patch_times)),
+        "n_sample_patches": len(patch_times),
     }
 
 
-def main():
+def run_bench():
+    """The actual measurement (child mode / --run).  May die on tunnel
+    flakes — the supervisor in main() retries it in a fresh process."""
     import tempfile
 
     # persistent XLA compilation cache: a second bench run in a fresh
@@ -270,6 +282,81 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+# --- self-defending supervisor (VERDICT r3 #1) ------------------------------
+#
+# The tunneled TPU backend is known-flaky (multi-minute stalls, transient
+# ``Unable to initialize backend 'axon': UNAVAILABLE`` — BENCH_r03.json died
+# exactly this way and the driver recorded ``parsed: null``).  Default mode
+# therefore runs the measurement in a CHILD process with bounded retries and
+# a per-attempt timeout; a fresh process also sidesteps JAX's cached
+# backend-init failure.  Whatever happens, EXACTLY ONE JSON line is printed.
+
+RETRY_BACKOFF_S = (60, 120)  # sleeps between the 3 attempts
+ATTEMPT_TIMEOUT_S = int(__import__("os").environ.get("LIGHT_UNET_BENCH_TIMEOUT", "1800"))
+# global deadline: stop retrying early enough that the fail-soft JSON is
+# ALWAYS printed before any plausible outer (driver) timeout kills us
+DEADLINE_S = int(__import__("os").environ.get("LIGHT_UNET_BENCH_DEADLINE", "4800"))
+_START = time.time()
+
+
+def _attempt(timeout_s: float) -> tuple:
+    """Run the bench in a child process; return (json_dict | None, err_tail)."""
+    import os
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()), "--run"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=timeout_s,
+            env=os.environ.copy(),
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"attempt timed out after {timeout_s:.0f}s (tunnel stall?)"
+    tail = (proc.stderr or "").strip().splitlines()[-3:]
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            return parsed, ""
+    return None, f"rc={proc.returncode}; " + " | ".join(tail)
+
+
+def main():
+    if "--run" in sys.argv:  # child / direct mode: no supervisor
+        run_bench()
+        return
+    errors = []
+    for i in range(1 + len(RETRY_BACKOFF_S)):
+        remaining = DEADLINE_S - (time.time() - _START)
+        if remaining < 120:  # not enough budget for a meaningful attempt
+            errors.append(f"attempt {i + 1}: skipped (deadline {DEADLINE_S}s reached)")
+            break
+        result, err = _attempt(min(ATTEMPT_TIMEOUT_S, remaining - 30))
+        if result is not None:
+            if errors:  # record that earlier attempts flaked (driver-visible)
+                result["retries"] = errors
+            print(json.dumps(result))
+            return
+        errors.append(f"attempt {i + 1}: {err}")
+        print(f"bench attempt {i + 1} failed: {err}", file=sys.stderr)
+        if i < len(RETRY_BACKOFF_S):
+            time.sleep(RETRY_BACKOFF_S[i])
+    # persistent failure: STILL print the one parseable JSON line
+    print(json.dumps({
+        "metric": "volumes_per_sec_e2e_preprocess_plus_sliding_window_144x144x272",
+        "value": 0.0,
+        "unit": "volumes/sec",
+        "vs_baseline": 0.0,
+        "backend": "unavailable",
+        "error": errors,
+    }))
 
 
 if __name__ == "__main__":

@@ -349,8 +349,14 @@ class TpuConfig:
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
     # treat training.batch_size as PER-DEVICE: global batch = B x n_devices,
     # so every chip carries a shard even at the reference's batch 2 (scale
-    # the learning rate for the larger global batch yourself)
+    # the learning rate for the larger global batch yourself, or set
+    # scale_lr_with_devices below)
     batch_per_device: bool = False
+    # linear LR scaling rule for pod training: with batch_per_device on,
+    # multiply training.learning_rate by the device count to keep the
+    # per-example update magnitude roughly constant at the N-fold larger
+    # global batch.  No effect on a single chip or with batch_per_device off.
+    scale_lr_with_devices: bool = False
     prefetch_depth: int = 3  # host loader prefetch queue depth
     cache_volumes: bool = True  # keep decoded volumes in host RAM
     # Training corpus resident in HBM (datasets/device_corpus.py): volumes

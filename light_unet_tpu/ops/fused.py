@@ -279,8 +279,12 @@ class FusedVolumePipeline:
         # — fetch() then finds the host buffer (mostly) ready, and the device
         # can run the next case's program while this result streams back
         if self.host_prefetch:
-            arrays = (out.count, out.idx, out.tiles) if cap else (out,)
-            for a in arrays:  # sparse mode: the dense map never rides the link
+            # sparse mode: only count rides the link at dispatch time — the
+            # tile payload is device-sliced to the occupancy bucket at fetch
+            # time, so prefetching the full [cap, block^3] arrays would put
+            # exactly the bytes sparse fetch avoids back on the link
+            arrays = out.link_arrays() if cap else (out,)
+            for a in arrays:
                 try:
                     a.copy_to_host_async()
                 except Exception:  # noqa: BLE001 - optional runtime capability

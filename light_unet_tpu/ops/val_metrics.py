@@ -248,24 +248,33 @@ class DeviceValidationSweep:
     """
 
     def __init__(self, thresholds: Sequence[float], max_components: int = 4096,
-                 n_gt_cap: int = 64):
+                 n_gt_cap: int = 64, ledger=None):
         self.thresholds = [float(t) for t in thresholds]
         self._thr_dev = jnp.asarray(np.asarray(self.thresholds, np.float32))
         self.max_components = int(max_components)
         self.n_gt_cap = int(n_gt_cap)
         self._gt: Dict[str, Dict] = {}
+        # optional joint HBM accounting (utils/hbm_ledger.py): GT id maps and
+        # their bucket-padded variants are charged per allocation; when the
+        # ledger refuses, the case degrades gracefully (host metrics path /
+        # uncached padded variant) instead of oversubscribing HBM
+        self.ledger = ledger
 
     def add_case(self, case_id: str, label_volume: np.ndarray) -> bool:
         """Host-label the GT once and keep the id map device-resident
         (uint8 — ids are <= n_gt_cap <= 255, a quarter of the int32 bytes).
-        Returns False (case not added) when n_gt exceeds the cap."""
+        Returns False (case not added) when n_gt exceeds the cap or the
+        joint HBM ledger has no room for the id map."""
         gt = prepare_gt(label_volume)
         if gt["n_gt"] > min(self.n_gt_cap, 255):
             return False
+        ids_u8 = gt.pop("labeled").astype(np.uint8)
+        if self.ledger is not None and not self.ledger.try_charge(
+            "val_gt_ids", int(ids_u8.nbytes)
+        ):
+            return False
         gt["device_ids"] = {}  # padded variants keyed by shape
-        gt["base_ids"] = jax.device_put(
-            jnp.asarray(gt.pop("labeled").astype(np.uint8))
-        )
+        gt["base_ids"] = jax.device_put(jnp.asarray(ids_u8))
         self._gt[case_id] = gt
         return True
 
@@ -291,7 +300,13 @@ class DeviceValidationSweep:
             if cached is None:
                 pads = [(0, p - s) for p, s in zip(prob_dev.shape, gt_ids.shape)]
                 cached = jnp.pad(gt_ids, pads)
-                gt["device_ids"][prob_dev.shape] = cached
+                # cache the padded variant only if the joint ledger has room;
+                # otherwise recompute per epoch (cheap device pad) instead of
+                # accumulating unaccounted copies per bucket shape
+                if self.ledger is None or self.ledger.try_charge(
+                    "val_gt_ids_padded", int(np.prod(prob_dev.shape))
+                ):
+                    gt["device_ids"][prob_dev.shape] = cached
             gt_ids = cached
         # int32 exactness envelope: flat indices / joint pair ids must fit
         # int32, and extents < 4096 keep the split coordinate sums exact

@@ -34,6 +34,16 @@ def create_mesh(
             raise ValueError(
                 f"mesh_shape {mesh_shape} needs {want} devices, have {devices.size}"
             )
+        if want < devices.size:
+            # a stale/typo'd mesh_shape silently running on a pod subset is a
+            # debugging trap — make the subset loud (ADVICE r3)
+            import warnings
+
+            warnings.warn(
+                f"mesh_shape {tuple(mesh_shape)} uses only {want} of "
+                f"{devices.size} available devices ({devices.size - want} idle)",
+                stacklevel=2,
+            )
         devices = devices.ravel()[:want].reshape(tuple(mesh_shape))
         axis_names = tuple(f"axis{i}" if i > 0 else data_axis for i in range(devices.ndim))
         return Mesh(devices, axis_names)

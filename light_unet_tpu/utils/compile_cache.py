@@ -29,7 +29,11 @@ def enable_compilation_cache(cache_dir: Optional[str]) -> Optional[str]:
     try:
         path.mkdir(parents=True, exist_ok=True)
     except OSError as e:
-        print(f"WARNING: cannot create compilation cache dir {path}: {e}")
+        # stderr, never stdout: bench.py calls this before emitting its ONE
+        # driver-parsed JSON line (ADVICE r3)
+        import sys
+
+        print(f"WARNING: cannot create compilation cache dir {path}: {e}", file=sys.stderr)
         return None
     import jax
 

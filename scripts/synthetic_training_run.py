@@ -37,7 +37,36 @@ def main() -> int:
         help="exercise a mixed FL+DLBCL training mode: --n-train FL cases plus"
         " as many DLBCL-id cases (1000+) are generated; validation stays FL-only",
     )
+    ap.add_argument(
+        "--hard", action="store_true",
+        help="low-contrast sub-cc lesions + heavy texture noise (VERDICT r3 #3)"
+        " — recall starts well below 1.0 and must be learned, so threshold"
+        " sweep / recall-first selection / early stopping / plateau LR all"
+        " operate on real signal",
+    )
+    ap.add_argument(
+        "--scheduler", choices=["cosine", "plateau"], default=None,
+        help="override the LR scheduler (plateau = ReduceLROnPlateau on recall)",
+    )
+    ap.add_argument("--early-patience", type=int, default=None,
+                    help="override early-stopping patience (epochs)")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--validate-every", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the env pins JAX_PLATFORMS to the TPU "
+        "tunnel; env-var overrides are ignored — jax.config is required)",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ.pop("JAX_PLATFORMS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import tempfile
 
@@ -45,7 +74,7 @@ def main() -> int:
     from light_unet_tpu.core.trainer import Trainer
     from light_unet_tpu.ops.intensity import clip_and_normalize
     from light_unet_tpu.utils import nifti
-    from tests.synthetic import make_phantom, write_split_files
+    from tests.synthetic import make_phantom, make_phantom_hard, write_split_files
 
     workdir = Path(args.workdir) if args.workdir else Path(tempfile.mkdtemp(prefix="synth_run_"))
     rng = np.random.default_rng(42)
@@ -56,7 +85,10 @@ def main() -> int:
     (workdir / "proc/labels").mkdir(parents=True, exist_ok=True)
     aff = np.diag([4.0, 4.0, 4.0, 1.0])
     for cid in ids:
-        img, lab = make_phantom(rng, shape=tuple(args.shape), n_lesions=4, lesion_radius=(2, 4))
+        if args.hard:
+            img, lab = make_phantom_hard(rng, shape=tuple(args.shape))
+        else:
+            img, lab = make_phantom(rng, shape=tuple(args.shape), n_lesions=4, lesion_radius=(2, 4))
         img = np.asarray(clip_and_normalize(img)[0], np.float32)
         nifti.save(nifti.Nifti1Image(img, aff), workdir / f"proc/images/{cid}_0000.nii.gz")
         nifti.save(
@@ -67,17 +99,24 @@ def main() -> int:
     write_split_files(workdir / "splits", train_ids, ids[args.n_train : args.n_train + args.n_val])
 
     cfg = Config()
-    cfg.training.batch_size = 8
+    cfg.training.batch_size = args.batch or 8
     cfg.training.epochs = args.epochs
-    cfg.training.learning_rate = 1e-3
+    cfg.training.learning_rate = args.lr if args.lr else 1e-3
     cfg.training.use_warmup = True
     cfg.training.warmup_epochs = 2
     cfg.training.scheduler.T_max = args.epochs
-    cfg.validation.validate_every_n_epochs = 2
+    cfg.validation.validate_every_n_epochs = args.validate_every or 2
     cfg.data.body_mask.enabled = False
     cfg.output.save_every_n_epochs = 10
     cfg.data_dir = str(workdir / "proc")
     cfg.splits_dir = str(workdir / "splits")
+    if args.scheduler == "plateau":
+        cfg.training.scheduler.name = "ReduceLROnPlateau"
+    elif args.scheduler == "cosine":
+        cfg.training.scheduler.name = "CosineAnnealingLR"
+    if args.early_patience is not None:
+        cfg.training.early_stopping.enabled = True
+        cfg.training.early_stopping.patience = args.early_patience
     if args.mixed_mode:
         cfg.training.mixed_domains.enabled = True
         cfg.training.mixed_domains.mode = args.mixed_mode
@@ -90,14 +129,21 @@ def main() -> int:
     out = {
         "epochs": args.epochs,
         "mode": args.mixed_mode or "standard",
+        "hard": bool(args.hard),
+        "scheduler": cfg.training.scheduler.name,
         "wall_seconds": round(wall, 1),
         "best_recall": result["best_recall"],
         "best_dsc": result["best_dsc"],
         "best_epoch": result["best_epoch"],
+        "early_stopped": result["early_stopped"],
+        "selection_events": result["selection_events"],
         "train_loss": [round(x, 4) for x in result["history"]["train_loss"]],
         "val_recall": [round(x, 4) for x in result["history"]["val_recall"]],
         "val_dsc": [round(x, 4) for x in result["history"]["val_dsc"]],
+        "val_best_threshold": [round(x, 2) for x in result["history"]["val_best_threshold"]],
         "learning_rate": [round(x, 6) for x in result["history"]["learning_rate"]],
+        # device-sweep vs host-fallback per validation epoch (VERDICT r3 #4)
+        "val_fallback_history": result["val_fallback_history"],
         "workdir": str(workdir),
     }
     if args.mixed_mode == "probabilistic" and trainer.train_dataset is not None:

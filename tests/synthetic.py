@@ -45,6 +45,48 @@ def make_phantom(
     return image.astype(np.float32), label
 
 
+def make_phantom_hard(
+    rng: np.random.Generator,
+    shape: Tuple[int, int, int] = (32, 32, 40),
+    n_lesions: Tuple[int, int] = (1, 4),
+    lesion_radius: Tuple[float, float] = (1.0, 2.0),
+    contrast: Tuple[float, float] = (1.2, 1.5),
+    noise_sigma: float = 0.35,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Low-contrast phantom for the model-selection machinery (VERDICT r3 #3).
+
+    The easy phantom's 0.9-vs-0.25 normalized contrast trivially recalls
+    everything from epoch 2, so threshold sweeps, recall-driven model
+    selection, early stopping, and ReduceLROnPlateau never fire.  Here:
+    lesion intensity is only ``contrast`` (1.2-1.5x) of the body mean,
+    lesion radii are ~1-2 voxels (sub-cc to ~2 cc at 4 mm spacing), and the
+    body texture noise sigma (0.35) is comparable to the absolute contrast
+    (0.4-1.0) — so val recall starts well below 1.0 and has to be LEARNED.
+    """
+    zz, yy, xx = np.ogrid[: shape[0], : shape[1], : shape[2]]
+    cz, cy, cx = shape[0] / 2, shape[1] / 2, shape[2] / 2
+    body = (
+        (zz - cz) ** 2 / (0.42 * shape[0]) ** 2
+        + (yy - cy) ** 2 / (0.42 * shape[1]) ** 2
+        + (xx - cx) ** 2 / (0.45 * shape[2]) ** 2
+    ) <= 1.0
+    body_mean = 2.0
+    image = body * (body_mean + noise_sigma * rng.standard_normal(shape)) + 0.01 * rng.random(shape)
+    image = np.maximum(image, 0.0)
+    label = np.zeros(shape, np.float32)
+    for _ in range(int(rng.integers(n_lesions[0], n_lesions[1] + 1))):
+        r = float(rng.uniform(lesion_radius[0], lesion_radius[1]))
+        c = [int(rng.integers(int(d * 0.3), int(d * 0.7))) for d in shape]
+        dist = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+        lesion = dist <= r**2
+        factor = float(rng.uniform(contrast[0], contrast[1]))
+        # additive bump over the noisy body, NOT a constant paint-over —
+        # lesion voxels keep the texture so edges stay ambiguous
+        image[lesion] += body_mean * (factor - 1.0)
+        label[lesion] = 1.0
+    return image.astype(np.float32), label
+
+
 def write_case(raw_dir: Path, case_id: str, image: np.ndarray, label: np.ndarray) -> None:
     raw_dir = Path(raw_dir)
     (raw_dir / "images").mkdir(parents=True, exist_ok=True)
@@ -61,10 +103,12 @@ def build_raw_dataset(
     case_ids: Sequence[str],
     shape: Tuple[int, int, int] = (32, 32, 40),
     seed: int = 0,
+    hard: bool = False,
 ) -> List[str]:
     rng = np.random.default_rng(seed)
+    make = make_phantom_hard if hard else make_phantom
     for cid in case_ids:
-        image, label = make_phantom(rng, shape=shape)
+        image, label = make(rng, shape=shape)
         write_case(raw_dir, cid, image, label)
     return list(case_ids)
 

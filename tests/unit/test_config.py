@@ -134,3 +134,24 @@ def test_cli_accepts_reference_script_flags():
     assert a.train_ratio == 0.8 and a.output_dir == "splits" and a.seed == 7
     a = p.parse_args(["--mode", "train", "--data_dir", "proc", "--splits_dir", "sp"])
     assert a.processed_dir == "proc"
+
+
+def test_pod_yaml_diverges_only_on_pod_keys():
+    """configs/unet_fl70_pod.yaml is the flagship config with exactly two
+    intended divergences: batch_per_device + scale_lr_with_devices (VERDICT
+    r3 #6 — the shipped pod posture).  Everything else must stay identical
+    so the pod config inherits flagship fixes automatically."""
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent.parent
+    with open(repo / "configs" / "unet_fl70.yaml") as f:
+        flagship = yaml.safe_load(f)
+    with open(repo / "configs" / "unet_fl70_pod.yaml") as f:
+        pod = yaml.safe_load(f)
+
+    assert pod["tpu"].pop("batch_per_device") is True
+    assert pod["tpu"].pop("scale_lr_with_devices") is True
+    assert pod == flagship
+
+    cfg = Config.load(repo / "configs" / "unet_fl70_pod.yaml")
+    assert cfg.tpu.batch_per_device and cfg.tpu.scale_lr_with_devices

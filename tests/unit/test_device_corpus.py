@@ -137,7 +137,7 @@ def test_corner_for_matches_extract_patch_geometry():
         for _ in range(20):
             center = np.array([rng.integers(0, s) for s in shape])
             img, _ = sampler._extract_patch(vol, vol, center)
-            z0, y0, x0 = corner_for(shape, center, PATCH)
+            z0, y0, x0 = corner_for(center, PATCH)
             padded = np.zeros([s + p for s, p in zip(shape, PATCH)], np.float32)
             padded[: shape[0], : shape[1], : shape[2]] = vol
             ref = padded[z0 : z0 + PATCH[0], y0 : y0 + PATCH[1], x0 : x0 + PATCH[2]]

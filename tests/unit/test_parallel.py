@@ -160,3 +160,50 @@ def test_trainer_validation_runs_on_mesh(tmp_path):
     for key in ("lesion_wise_recall", "voxel_wise_dsc_macro", "best_threshold"):
         assert np.isfinite(metrics[key])
     trainer.writer.close()
+
+
+def test_create_mesh_warns_on_device_subset():
+    """ADVICE r3: a mesh_shape requesting fewer devices than available must
+    be loud, not silent (a stale/typo'd shape quietly idling pod chips)."""
+    import warnings
+
+    from light_unet_tpu.parallel.mesh import create_mesh
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        mesh = create_mesh(mesh_shape=[2])
+    assert int(np.prod(mesh.devices.shape)) == 2
+    assert any("idle" in str(w.message) for w in caught)
+
+
+def test_scale_lr_with_devices_applies_linear_rule(tmp_path):
+    """Pod posture (VERDICT r3 #6): with batch_per_device +
+    scale_lr_with_devices, the base LR is multiplied by the device count;
+    without the flag it stays at the configured value."""
+    from light_unet_tpu.core.trainer import Trainer
+    from tests.synthetic import build_raw_dataset, write_split_files
+
+    ids = [f"{i:04d}" for i in range(1, 4)]
+    build_raw_dataset(tmp_path / "proc", ids, shape=(20, 20, 24), seed=3)
+    write_split_files(tmp_path / "splits", ids[:2], ids[2:])
+
+    cfg = Config()
+    cfg.data.patch_size = [16, 16, 16]
+    cfg.training.batch_size = 2
+    cfg.training.epochs = 1
+    cfg.tpu.patch_batch = 8
+    cfg.tpu.z_bucket = 8
+    cfg.tpu.compute_dtype = "float32"
+    cfg.tpu.batch_per_device = True
+    cfg.tpu.scale_lr_with_devices = True
+    cfg.data.body_mask.enabled = False
+    cfg.data_dir = str(tmp_path / "proc")
+    cfg.splits_dir = str(tmp_path / "splits")
+
+    trainer = Trainer(cfg, workdir=str(tmp_path))
+    n = len(jax.devices())
+    assert trainer.base_lr == pytest.approx(cfg.training.learning_rate * n)
+    assert trainer.scheduler.base_lr == pytest.approx(trainer.base_lr)
+    lr0 = float(trainer.opt_state.hyperparams["learning_rate"])
+    assert lr0 == pytest.approx(trainer.base_lr)
+    trainer.writer.close()
