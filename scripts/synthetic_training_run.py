@@ -53,6 +53,8 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--validate-every", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--patch", type=int, default=None,
+                    help="cubic patch size override (CPU smokes: 24)")
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (the env pins JAX_PLATFORMS to the TPU "
@@ -99,6 +101,9 @@ def main() -> int:
     write_split_files(workdir / "splits", train_ids, ids[args.n_train : args.n_train + args.n_val])
 
     cfg = Config()
+    if args.patch:
+        cfg.data.patch_size = [args.patch] * 3
+        cfg.tpu.z_bucket = min(48, args.patch)
     cfg.training.batch_size = args.batch or 8
     cfg.training.epochs = args.epochs
     cfg.training.learning_rate = args.lr if args.lr else 1e-3

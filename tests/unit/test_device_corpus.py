@@ -223,3 +223,35 @@ def test_chained_dispatch_loss_bit_identical(tmp_path):
     assert any(t3._unit_steps(u) > 1 for u in units)
     losses3 = t3._flatten_losses([t3._step_on_batch(u) for u in units])
     np.testing.assert_array_equal(np.asarray(losses1), np.asarray(losses3))
+
+
+def test_chained_dispatch_requires_separable_augment(tmp_path):
+    """ADVICE r3: steps_per_dispatch>1 under the map_coordinates oracle
+    augmentation path re-creates the measured gather-composition regression;
+    the trainer must warn and fall back to single-step dispatch."""
+    import warnings
+
+    from light_unet_tpu.core.trainer import Trainer
+
+    data_dir = tmp_path / "processed"
+    rng = np.random.default_rng(13)
+    for cid in ("0001", "0002"):
+        _write_norm_case(data_dir, cid, (20, 20, 24), rng)
+    write_split_files(tmp_path / "splits", ["0001", "0002"], ["0001"])
+
+    cfg = Config()
+    cfg.data.patch_size = list(PATCH)
+    cfg.data.body_mask.enabled = False
+    cfg.training.batch_size = 2
+    cfg.tpu.steps_per_dispatch = 3
+    cfg.tpu.separable_augment = False  # the supported oracle path
+    cfg.tpu.compilation_cache_dir = ""
+    cfg.data_dir = str(data_dir)
+    cfg.splits_dir = str(tmp_path / "splits")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        t = Trainer(cfg, workdir=str(tmp_path / "w"))
+    assert t._chain == 1 and t._train_chain is None
+    assert any("separable_augment" in str(w.message) for w in caught)
+    t.writer.close()

@@ -159,3 +159,49 @@ def test_post_mask_in_sliding_window(phantom, rng):
     with_mask = sw(params, phantom, post_mask=mask)
     without = sw(params, phantom)
     np.testing.assert_allclose(with_mask, without * mask, atol=1e-6)
+
+
+def test_sparse_host_prefetch_ships_only_the_count(phantom, monkeypatch):
+    """ADVICE r3 (medium): in sparse-fetch mode, dispatch-time host prefetch
+    must ride ONLY SparsePack.link_arrays() (the 4-byte count) — prefetching
+    the capacity-sized idx/tiles arrays would push more bytes over the link
+    than the dense map sparse fetch exists to avoid."""
+    cfg = Config()
+    cfg.data.patch_size = [16, 16, 16]
+    cfg.data.body_mask.closing_voxels = 2
+    cfg.tpu.z_bucket = 16
+    cfg.tpu.sparse_fetch = True
+
+    model = TinyNet()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))
+    pipe = FusedVolumePipeline(
+        lambda p, x: model.apply(p, x), cfg, patch_batch=8,
+        transfer_dtype="float32", fetch_dtype="float32",
+    )
+    assert pipe.sparse_fetch and pipe.host_prefetch
+
+    prefetched = []
+    cls = type(jnp.zeros(1))
+    orig = getattr(cls, "copy_to_host_async", None)
+    assert orig is not None
+
+    def spy(self):
+        prefetched.append(self.nbytes)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "copy_to_host_async", spy)
+    out, shape = pipe.dispatch(params, pipe.prepare(np.asarray(phantom)))
+    assert len(prefetched) == 1, prefetched  # count only
+    assert prefetched[0] <= 8, prefetched    # scalar, not the tile payload
+    # ...and the result still reconstructs exactly
+    monkeypatch.setattr(cls, "copy_to_host_async", orig)
+    dense_cfg = Config.from_dict(cfg.to_dict())
+    dense_cfg.tpu.sparse_fetch = False
+    dense_pipe = FusedVolumePipeline(
+        lambda p, x: model.apply(p, x), dense_cfg, patch_batch=8,
+        transfer_dtype="float32", fetch_dtype="float32",
+    )
+    np.testing.assert_array_equal(
+        pipe.fetch((out, shape)),
+        dense_pipe(params, np.asarray(phantom)),
+    )
