@@ -50,6 +50,10 @@ def main() -> int:
     )
     ap.add_argument("--early-patience", type=int, default=None,
                     help="override early-stopping patience (epochs)")
+    ap.add_argument("--plateau-patience", type=int, default=None,
+                    help="override the ReduceLROnPlateau patience; set it "
+                    "BELOW --early-patience so the LR reduction fires before "
+                    "early stopping ends the run")
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--validate-every", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
@@ -119,6 +123,8 @@ def main() -> int:
         cfg.training.scheduler.name = "ReduceLROnPlateau"
     elif args.scheduler == "cosine":
         cfg.training.scheduler.name = "CosineAnnealingLR"
+    if args.plateau_patience is not None:
+        cfg.training.scheduler.patience = args.plateau_patience
     if args.early_patience is not None:
         cfg.training.early_stopping.enabled = True
         cfg.training.early_stopping.patience = args.early_patience
