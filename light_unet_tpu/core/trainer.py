@@ -924,6 +924,8 @@ class Trainer:
             "config": cfg.to_dict(),
             "history": self.history,
             "global_step": self._global_step,
+            "selection_events": self.selection_events,
+            "val_fallback_history": self.val_fallback_history,
         }
         if cfg.output.save_checkpoints and (epoch + 1) % cfg.output.save_every_n_epochs == 0:
             path = self.checkpoint_dir / f"checkpoint_epoch_{epoch + 1:03d}.ckpt"
@@ -952,6 +954,8 @@ class Trainer:
         self.scheduler.load_state_dict(meta.get("scheduler_state", {}))
         self.history = meta.get("history", self.history)
         self._global_step = meta.get("global_step", 0)
+        self.selection_events = meta.get("selection_events", [])
+        self.val_fallback_history = meta.get("val_fallback_history", [])
         print(f"Resumed from {path} at epoch {self.start_epoch}")
         return True
 

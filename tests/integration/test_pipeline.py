@@ -145,8 +145,12 @@ def test_resume_training(workspace):
     trainer = Trainer(cfg, workdir=str(root))
     assert trainer.resume() is True
     assert trainer.start_epoch == 2
+    # instrumentation survives resume like history does
+    assert trainer.selection_events, "selection events lost on resume"
+    assert trainer.val_fallback_history, "fallback history lost on resume"
     result = trainer.train()  # runs exactly epoch 3
     assert len(result["history"]["train_loss"]) == 3
+    assert len(result["val_fallback_history"]) == 3
 
 
 @pytest.mark.integration
