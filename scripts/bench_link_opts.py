@@ -348,7 +348,25 @@ def main():
     ap.add_argument("--segments", type=int, default=3)
     ap.add_argument("--shape", type=int, nargs=3, default=None,
                     help="override the volume shape (CPU smoke: 64 64 96)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (harness smoke tests; the env "
+                    "pins JAX_PLATFORMS and jax.config is the only override)")
+    ap.add_argument("--steps", type=int, default=16,
+                    help="chain: steps timed per segment")
+    ap.add_argument("--batches", type=int, nargs="+", default=[2, 8],
+                    help="chain: batch sizes to compare")
+    ap.add_argument("--ks", type=int, nargs="+", default=[1, 4, 8],
+                    help="chain: steps_per_dispatch values to compare")
+    ap.add_argument("--pbatches", type=int, nargs="+", default=[96, 192],
+                    help="pbatch: patch_batch values to compare")
     args = ap.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ.pop("JAX_PLATFORMS", None)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.shape:
         global SHAPE
         SHAPE = tuple(args.shape)
@@ -361,12 +379,13 @@ def main():
     if args.which in ("sparse", "all"):
         print(json.dumps(bench_sparse(args.segments)), flush=True)
     if args.which in ("chain", "all"):
-        for r in bench_chain(args.segments):
+        for r in bench_chain(args.segments, steps=args.steps,
+                             batches=tuple(args.batches), ks=tuple(args.ks)):
             print(json.dumps(r), flush=True)
     if args.which in ("mask", "all"):
         print(json.dumps(bench_mask(args.segments)), flush=True)
     if args.which in ("pbatch", "all"):
-        for r in bench_pbatch(args.segments):
+        for r in bench_pbatch(args.segments, batches=tuple(args.pbatches)):
             print(json.dumps(r), flush=True)
 
 
