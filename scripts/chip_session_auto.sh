@@ -60,6 +60,10 @@ json.loads(lines[-1])
 EOF
   then
     touch "$STATE/$name.done"
+    # mirror into the repo so results survive even if no session is alive
+    # to process them (the round driver commits the working tree at the end)
+    mkdir -p "$REPO/docs/runs/chip_auto"
+    cp "$STATE/$name.json" "$REPO/docs/runs/chip_auto/$name.json"
     say "step $name: DONE"
   else
     say "step $name: FAILED (rc=$rc); will retry next pass"
