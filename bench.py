@@ -221,11 +221,14 @@ def bench_torch_cpu_baseline(tmpdir: Path, cid: str, sample_patches: int = 12) -
         # warmup
         model(torch.zeros(1, 1, *PATCH))
         for z, y, x in positions[:sample_patches]:
+            # time the WHOLE serial per-patch cost (slice+pad+tensor
+            # conversion+forward+fetch) — the reference pipeline pays all of
+            # it per grid position, and r01-r03 captures timed it this way
+            t0 = time.time()
             patch = norm[z : z + 48, y : y + 48, x : x + 48]
             if patch.shape != PATCH:
                 patch = np.pad(patch, [(0, 48 - s) for s in patch.shape])
             t = torch.from_numpy(np.ascontiguousarray(patch)).float()[None, None]
-            t0 = time.time()
             model(t).squeeze().numpy()
             patch_times.append(time.time() - t0)
     per_patch = float(np.mean(patch_times))

@@ -763,7 +763,12 @@ class Trainer:
                     res = vs.case_metrics(
                         sample.case_id, dispatched[0], sp, iou_thr, dist_thr
                     )
-                    if res is None:  # component overflow: escalate 4x cap
+                    # escalate to the 4x cap only for genuine component-count
+                    # overflow; the int32-exactness envelope / giant-component
+                    # limits are cap-independent, so escalating would compile
+                    # a 4x-cap program per bucket shape (30 s-20 min over the
+                    # tunnel) just to fail the same check
+                    if res is None and vs.last_overflow_reason == "components":
                         res = escalated_sweep().case_metrics(
                             sample.case_id, dispatched[0], sp, iou_thr, dist_thr
                         )

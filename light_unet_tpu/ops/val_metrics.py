@@ -254,6 +254,12 @@ class DeviceValidationSweep:
         self.max_components = int(max_components)
         self.n_gt_cap = int(n_gt_cap)
         self._gt: Dict[str, Dict] = {}
+        # why the last case_metrics call returned None: "components" (a
+        # bigger cap would fix it — escalation-worthy), "envelope" /
+        # "component_size" (cap-independent int32-exactness limits — only a
+        # host fetch stays exact, escalating would compile a 4x program
+        # just to fail the same check).  None after a successful call.
+        self.last_overflow_reason = None
         # optional joint HBM accounting (utils/hbm_ledger.py): GT id maps and
         # their bucket-padded variants are charged per allocation; when the
         # ledger refuses, the case degrades gracefully (host metrics path /
@@ -304,7 +310,7 @@ class DeviceValidationSweep:
                 # otherwise recompute per epoch (cheap device pad) instead of
                 # accumulating unaccounted copies per bucket shape
                 if self.ledger is None or self.ledger.try_charge(
-                    "val_gt_ids_padded", int(np.prod(prob_dev.shape))
+                    "val_gt_ids_padded", int(cached.nbytes)
                 ):
                     gt["device_ids"][prob_dev.shape] = cached
             gt_ids = cached
@@ -313,6 +319,7 @@ class DeviceValidationSweep:
         # (see _MAX_EXACT_COMPONENT).  Out-of-envelope volumes take the host
         # path — exact, never truncated.
         if prob_dev.size >= 2**31 or max(prob_dev.shape) >= 4096:
+            self.last_overflow_reason = "envelope"
             return None
         tables, inters, counts = sweep_tables_device(
             prob_dev, gt_ids, self._thr_dev,
@@ -320,11 +327,15 @@ class DeviceValidationSweep:
         )
         counts = np.asarray(counts)
         if (counts > self.max_components).any():
+            self.last_overflow_reason = "components"
             return None
         tables = np.asarray(tables)
         if tables[:, 1:, _COL_SIZE].max(initial=0) >= _MAX_EXACT_COMPONENT:
-            return None  # a >=2^23-voxel component: host fallback stays exact
+            # a >=2^23-voxel component: host fallback stays exact
+            self.last_overflow_reason = "component_size"
+            return None
         inters = np.asarray(inters)
+        self.last_overflow_reason = None
         return [
             metrics_from_tables(
                 tables[i], inters[i], int(counts[i]), gt, spacing,

@@ -110,11 +110,13 @@ def main() -> int:
         cfg.tpu.z_bucket = min(48, args.patch)
     cfg.training.batch_size = args.batch or 8
     cfg.training.epochs = args.epochs
-    cfg.training.learning_rate = args.lr if args.lr else 1e-3
+    cfg.training.learning_rate = args.lr if args.lr is not None else 1e-3
     cfg.training.use_warmup = True
     cfg.training.warmup_epochs = 2
     cfg.training.scheduler.T_max = args.epochs
-    cfg.validation.validate_every_n_epochs = args.validate_every or 2
+    cfg.validation.validate_every_n_epochs = (
+        args.validate_every if args.validate_every is not None else 2
+    )
     cfg.data.body_mask.enabled = False
     cfg.output.save_every_n_epochs = 10
     cfg.data_dir = str(workdir / "proc")

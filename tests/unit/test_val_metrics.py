@@ -243,11 +243,29 @@ def test_escalated_cap_matches_host_where_small_cap_overflows(rng):
     assert small.add_case("x", target)
     dev_prob = jnp.asarray(prob)
     assert small.case_metrics("x", dev_prob, SPACING) is None  # overflow
+    # a bigger cap CAN fix this — the trainer keys escalation on the reason
+    assert small.last_overflow_reason == "components"
 
     big = DeviceValidationSweep(thresholds, max_components=4096, n_gt_cap=16)
     big._gt = small._gt  # the id maps don't depend on the cap
     (res,) = big.case_metrics("x", dev_prob, SPACING)
+    assert big.last_overflow_reason is None
     assert res == _host_counts(prob, target, 0.8)
+
+
+def test_envelope_overflow_reason_is_cap_independent():
+    """A volume outside the int32-exactness envelope (extent >= 4096) must
+    report reason "envelope", not "components" — escalating the component
+    cap would compile a 4x program just to fail the same check."""
+    import jax.numpy as jnp
+
+    sweep = DeviceValidationSweep([0.5], max_components=8, n_gt_cap=16)
+    target = np.zeros((1, 1, 4096), np.float32)
+    target[0, 0, :4] = 1
+    assert sweep.add_case("x", target)
+    prob = jnp.asarray(np.zeros((1, 1, 4096), np.float32))
+    assert sweep.case_metrics("x", prob, SPACING) is None
+    assert sweep.last_overflow_reason == "envelope"
 
 
 def test_trainer_escalates_before_host_fallback(tmp_path, monkeypatch):
@@ -293,6 +311,7 @@ def test_trainer_escalates_before_host_fallback(tmp_path, monkeypatch):
 
     def overflow_on_small(self, *a, **k):
         if self.max_components <= 4096:
+            self.last_overflow_reason = "components"
             return None
         return orig(self, *a, **k)
 
@@ -304,5 +323,23 @@ def test_trainer_escalates_before_host_fallback(tmp_path, monkeypatch):
     assert fb["host"] == 0 and fb["host_fetch_bytes"] == 0
     assert t._val_sweep_big.max_components == 4 * t._val_sweep.max_components
     assert m_esc == m_ref
+
+    # cap-INDEPENDENT overflow (int32 envelope / giant component): the 4x
+    # tier cannot fix it, so the trainer must go straight to the exact host
+    # fallback without compiling or running an escalated sweep
+    def overflow_envelope(self, *a, **k):
+        self.last_overflow_reason = "envelope"
+        return None
+
+    monkeypatch.setattr(DeviceValidationSweep, "case_metrics", overflow_envelope)
+    t._val_sweep_big = None  # any escalation would have to rebuild the tier
+    t._val_overflow_backoff.clear()
+    t.val_fallback_history.clear()
+    _, m_host = t.validate(0)
+    fb = t.val_fallback_history[0]
+    assert fb["escalated"] == 0
+    assert fb["host"] == fb["n_cases"] >= 1
+    assert t._val_sweep_big is None  # never built: escalation skipped
+    assert m_host == m_ref
     t.writer.close()
     t_ref.writer.close()
