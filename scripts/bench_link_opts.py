@@ -281,10 +281,16 @@ def bench_pbatch(segments: int = 3, n_volumes: int = 4, batches=(96, 192)) -> li
     with tempfile.TemporaryDirectory() as td:
         vols = _volumes(Path(td), n_volumes)
 
-        # raw forward at each chunk size
+        # raw forward at each chunk size.  The input batch is uploaded ONCE
+        # per b and synced (by fetching a slice — block_until_ready is
+        # unreliable on this backend) BEFORE the timing loop: an async
+        # device_put inside the t0 window would add 20-40 MB of tunnel
+        # traffic and the link's stall variance to every sample, drowning
+        # the on-chip effect this experiment exists to isolate.
         fwd = jax.jit(lambda p, x: model.apply(p, x, train=False))
         raw = {}
         cost_bytes = {}
+        xs = {}
         for b in batches:
             x = jnp.asarray(
                 np.random.default_rng(0).random((b, *PATCH, 1), np.float32),
@@ -295,15 +301,13 @@ def bench_pbatch(segments: int = 3, n_volumes: int = 4, batches=(96, 192)) -> li
             c = c[0] if isinstance(c, (list, tuple)) else c
             cost_bytes[b] = float(c.get("bytes accessed", float("nan"))) if c else float("nan")
             out = fwd(params, x); _ = np.asarray(out[0, 0, 0, 0])  # warm
+            _ = np.asarray(x[0, 0, 0, 0, 0])  # force the upload to settle
+            xs[b] = x
             raw[b] = []
         for _ in range(max(segments, 3)):
             for b in batches:
-                x = jnp.asarray(
-                    np.random.default_rng(1).random((b, *PATCH, 1), np.float32),
-                    jnp.bfloat16,
-                )
                 t0 = time.time()
-                out = fwd(params, x)
+                out = fwd(params, xs[b])
                 _ = np.asarray(out[0, 0, 0, 0])
                 raw[b].append(time.time() - t0)
 

@@ -35,7 +35,10 @@ EOF
 wait_for_chip() {
   while :; do
     [ "$(date +%s)" -ge "$DEADLINE" ] && return 1
-    while [ -e /tmp/host_busy ]; do say "host busy; waiting"; sleep 300; done
+    while [ -e /tmp/host_busy ]; do
+      [ "$(date +%s)" -ge "$DEADLINE" ] && return 1   # stay bounded
+      say "host busy; waiting"; sleep 300
+    done
     if probe; then say "probe ok"; return 0; fi
     say "probe failed; sleeping ${PROBE_SLEEP}s"
     sleep "$PROBE_SLEEP"
