@@ -32,10 +32,9 @@ from light_unet_tpu.ops.intensity import (
     pad_volume,
 )
 from light_unet_tpu.ops.sliding_window import (
-    _round_up,
     _valid_mask,
     bucketed_shape,
-    choose_chunk,
+    choose_chunks,
     compute_positions,
     sliding_window_core,
 )
@@ -125,7 +124,7 @@ def normalize_and_body_mask(
 @partial(
     jax.jit,
     static_argnames=(
-        "apply_fn", "patch_size", "chunk",
+        "apply_fn", "patch_size", "chunk", "tail_chunk",
         "range_min", "range_max", "threshold", "closing_voxels", "keep_largest",
         "dilate_voxels", "apply_mask", "dequant", "quantize_out",
         "sparse_cap", "sparse_block",
@@ -134,6 +133,7 @@ def normalize_and_body_mask(
 def _preprocess_and_infer_jit(
     params, volume, true_dims, lo, hi, positions, pmask, imp_map, *,
     apply_fn: Callable, patch_size: Tuple[int, int, int], chunk: int,
+    tail_chunk: int = 0,
     range_min: float, range_max: float,
     threshold: float, closing_voxels: int, keep_largest: bool, dilate_voxels: int,
     apply_mask: bool, dequant: bool = False, quantize_out: bool = False,
@@ -147,7 +147,10 @@ def _preprocess_and_infer_jit(
         volume = volume.astype(jnp.float32)
     valid = _valid_mask(volume.shape, true_dims)
     normalized = clip_normalize_device(volume, valid, lo, hi, range_min=range_min, range_max=range_max)
-    prob = sliding_window_core(params, normalized, positions, pmask, imp_map, apply_fn, patch_size, chunk)
+    prob = sliding_window_core(
+        params, normalized, positions, pmask, imp_map, apply_fn, patch_size, chunk,
+        tail_chunk=tail_chunk,
+    )
     if apply_mask:
         body, _ = body_mask_core(normalized, valid, threshold, closing_voxels, keep_largest, dilate_voxels)
         prob = prob * body
@@ -234,15 +237,17 @@ class FusedVolumePipeline:
 
         positions = compute_positions(shape, self.patch_size, 0.5)
         n = len(positions)
-        chunk = choose_chunk(n, self.patch_batch)
-        n_pad = _round_up(max(n, 1), chunk)
+        chunk, tail, n_pad = choose_chunks(n, self.patch_batch)
         posp = np.zeros((n_pad, 3), np.int32)
         posp[:n] = positions
         pmask = np.zeros((n_pad,), np.float32)
         pmask[:n] = 1.0
         # start the H2D uploads HERE, on the worker thread — they then overlap
         # the D2H fetch of the previous case (opposite link directions)
-        return jnp.asarray(padded), shape, lo, hi, jnp.asarray(posp), jnp.asarray(pmask), chunk
+        return (
+            jnp.asarray(padded), shape, lo, hi,
+            jnp.asarray(posp), jnp.asarray(pmask), (chunk, tail),
+        )
 
     def dispatch(self, params, image_or_prepared):
         cfg = self.cfg
@@ -251,7 +256,8 @@ class FusedVolumePipeline:
             if isinstance(image_or_prepared, tuple)
             else self.prepare(image_or_prepared)
         )
-        padded, shape, lo, hi, posp, pmask, chunk = prep
+        padded, shape, lo, hi, posp, pmask, chunks = prep
+        chunk, tail_chunk = chunks
 
         rng = cfg.data.intensity.normalization_range
         bm = cfg.data.body_mask
@@ -265,6 +271,7 @@ class FusedVolumePipeline:
             jnp.float32(lo), jnp.float32(hi), jnp.asarray(posp), jnp.asarray(pmask),
             self.imp_map,
             apply_fn=self.apply_fn, patch_size=self.patch_size, chunk=chunk,
+            tail_chunk=tail_chunk,
             range_min=float(rng[0]), range_max=float(rng[1]),
             threshold=float(bm.threshold), closing_voxels=int(bm.closing_voxels),
             keep_largest=bool(bm.keep_largest_component), dilate_voxels=int(bm.dilate_voxels),

@@ -121,6 +121,7 @@ def sliding_window_core(
     apply_fn: Callable,
     patch_size: Tuple[int, int, int],
     chunk: int,
+    tail_chunk: int = 0,
 ):
     """Traceable core: gather-all -> chunked batched forward -> scatter-add.
 
@@ -129,7 +130,8 @@ def sliding_window_core(
     overhead), then one fori scatter loop of in-place dynamic-update-slices.
     """
     prob, count = sliding_window_core_parts(
-        params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk
+        params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk,
+        tail_chunk=tail_chunk,
     )
     return jnp.where(count > 0, prob / jnp.where(count > 0, count, 1.0), prob)
 
@@ -158,8 +160,8 @@ def _apply_post_mask(out, post_mask, mask_packed: bool):
 @partial(
     jax.jit,
     static_argnames=(
-        "apply_fn", "patch_size", "chunk", "use_post_mask", "dequant",
-        "quantize_out", "sparse_cap", "sparse_block", "mask_packed",
+        "apply_fn", "patch_size", "chunk", "tail_chunk", "use_post_mask",
+        "dequant", "quantize_out", "sparse_cap", "sparse_block", "mask_packed",
     ),
 )
 def _sliding_window_jit(
@@ -176,6 +178,7 @@ def _sliding_window_jit(
     apply_fn: Callable,
     patch_size: Tuple[int, int, int],
     chunk: int,
+    tail_chunk: int = 0,
     use_post_mask: bool,
     dequant: bool = False,
     quantize_out: bool = False,
@@ -185,7 +188,10 @@ def _sliding_window_jit(
 ):
     if dequant:
         volume = _dequant_volume(volume, true_dims, vlo, vhi)
-    out = sliding_window_core(params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk)
+    out = sliding_window_core(
+        params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk,
+        tail_chunk=tail_chunk,
+    )
     if use_post_mask:
         out = _apply_post_mask(out, post_mask, mask_packed)
     return _finalize_output(out, quantize_out, sparse_cap, sparse_block)
@@ -193,11 +199,17 @@ def _sliding_window_jit(
 
 def sliding_window_core_parts(
     params, volume, positions, mask, imp_map, apply_fn, patch_size, chunk,
-    init=None,
+    init=None, tail_chunk: int = 0,
 ):
     """Like ``sliding_window_core`` but returns the raw (prob, count)
     accumulators — the building block for the sharded multi-chip path
-    (which passes an ``init`` pair marked as mesh-varying)."""
+    (which passes an ``init`` pair marked as mesh-varying).
+
+    ``tail_chunk`` (a smaller power-of-two bucket from ``choose_chunks``)
+    runs the last partial chunk as one separate forward instead of padding
+    it up to ``chunk`` — e.g. a 275-patch whole-body volume at chunk 192
+    forwards 192 + 128 = 320 slots instead of 2x192 = 384, recovering most
+    of the larger chunk's per-patch rate (0.525 vs 0.689 ms measured)."""
     n = positions.shape[0]
 
     def gather(p):
@@ -208,8 +220,15 @@ def sliding_window_core_parts(
     def fwd_chunk(c):
         return apply_fn(params, c[..., None])[..., 0].astype(jnp.float32)
 
-    preds = lax.map(fwd_chunk, patches.reshape(n // chunk, chunk, *patch_size))
-    preds = preds.reshape(n, *patch_size)
+    if tail_chunk:
+        n_main = n - tail_chunk
+        preds = lax.map(
+            fwd_chunk, patches[:n_main].reshape(n_main // chunk, chunk, *patch_size)
+        ).reshape(n_main, *patch_size)
+        preds = jnp.concatenate([preds, fwd_chunk(patches[n_main:])], axis=0)
+    else:
+        preds = lax.map(fwd_chunk, patches.reshape(n // chunk, chunk, *patch_size))
+        preds = preds.reshape(n, *patch_size)
     weights = imp_map[None] * mask[:, None, None, None]
     weighted = preds * weights
 
@@ -282,6 +301,24 @@ def choose_chunk(n_patches: int, patch_batch: int) -> int:
     while c < min(n_patches, patch_batch):
         c *= 2
     return min(c, patch_batch)
+
+
+def choose_chunks(n_patches: int, patch_batch: int) -> Tuple[int, int, int]:
+    """(chunk, tail_chunk, n_pad) for a mixed chunk schedule: full
+    ``chunk``-sized forwards plus at most one smaller power-of-two tail
+    bucket covering the remainder — 275 patches at patch_batch 192 become
+    192 + 128 = 320 padded slots instead of 2x192 = 384.  ``tail_chunk`` is
+    0 when the remainder pads to ``chunk`` anyway (then n_pad is the plain
+    round-up, identical to the pre-tail behavior)."""
+    n_patches = max(1, n_patches)
+    chunk = choose_chunk(n_patches, patch_batch)
+    rem = n_patches % chunk
+    if n_patches <= chunk or rem == 0:
+        return chunk, 0, _round_up(n_patches, chunk)
+    tail = choose_chunk(rem, patch_batch)
+    if tail == chunk:
+        return chunk, 0, _round_up(n_patches, chunk)
+    return chunk, tail, (n_patches // chunk) * chunk + tail
 
 
 class SlidingWindowInferencer:
@@ -374,8 +411,14 @@ class SlidingWindowInferencer:
 
         positions = compute_positions(shape, self.patch_size, self.overlap)
         n = positions.shape[0]
-        chunk = choose_chunk(max(1, n // self.n_devices), self.patch_batch)
-        n_pad = _round_up(max(n, 1), chunk * self.n_devices)
+        if self.n_devices > 1:
+            # sharded path: every device must run the same chunk schedule,
+            # so keep the uniform round-up (no tail bucket)
+            chunk = choose_chunk(max(1, n // self.n_devices), self.patch_batch)
+            tail = 0
+            n_pad = _round_up(max(n, 1), chunk * self.n_devices)
+        else:
+            chunk, tail, n_pad = choose_chunks(n, self.patch_batch)
         pos_padded = np.zeros((n_pad, 3), dtype=np.int32)
         pos_padded[:n] = positions
         mask = np.zeros((n_pad,), dtype=np.float32)
@@ -407,7 +450,7 @@ class SlidingWindowInferencer:
         return (
             jnp.asarray(vol_padded), shape, vlo, vhi,
             jnp.asarray(pos_padded), jnp.asarray(mask), jnp.asarray(pm),
-            chunk, use_post_mask,
+            (chunk, tail), use_post_mask,
         )
 
     def dispatch(self, params, volume, post_mask: Optional[np.ndarray] = None):
@@ -417,7 +460,8 @@ class SlidingWindowInferencer:
         ``prepare()`` result; ``post_mask`` (e.g. a body mask) is multiplied
         into the probability map on device."""
         prep = volume if isinstance(volume, tuple) else self.prepare(volume, post_mask)
-        vol_padded, shape, vlo, vhi, pos_padded, mask, pm, chunk, use_post_mask = prep
+        vol_padded, shape, vlo, vhi, pos_padded, mask, pm, chunks, use_post_mask = prep
+        chunk, tail_chunk = chunks
 
         args = (
             params,
@@ -454,6 +498,7 @@ class SlidingWindowInferencer:
                 apply_fn=self.apply_fn,
                 patch_size=self.patch_size,
                 chunk=chunk,
+                tail_chunk=tail_chunk,
                 use_post_mask=use_post_mask,
                 dequant=self.quantize_in,
                 quantize_out=self.quantize_out,

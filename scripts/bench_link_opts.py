@@ -345,9 +345,102 @@ def bench_pbatch(segments: int = 3, n_volumes: int = 4, batches=(96, 192)) -> li
     return results
 
 
+# --------------------------------------------------------------------------
+def bench_tail(segments: int = 3, n_volumes: int = 4, patch_batch: int = 192) -> dict:
+    """(e) mixed tail-bucket chunk schedule (``choose_chunks``): a 275-patch
+    whole-body volume at chunk 192 forwards 192 + 128 = 320 slots instead of
+    the uniform round-up's 2x192 = 384, so the chunk-192 per-patch rate
+    (0.525 ms measured) should survive to the e2e number instead of being
+    eaten by padding.  Interleaves the tailed schedule against the uniform
+    round-up at the same patch_batch; outputs must match bit-exactly."""
+    import light_unet_tpu.ops.fused as fused_mod
+    from light_unet_tpu.ops.fused import FusedVolumePipeline
+    from light_unet_tpu.ops.sliding_window import _round_up, choose_chunk
+
+    cfg, model, params = _model_and_params()
+    apply_fn = lambda p, x: model.apply(p, x, train=False)  # noqa: E731
+
+    tailed_choose = fused_mod.choose_chunks
+
+    def uniform_choose(n, pb):
+        c = choose_chunk(max(1, n), pb)
+        return c, 0, _round_up(max(n, 1), c)
+
+    with tempfile.TemporaryDirectory() as td:
+        vols = _volumes(Path(td), n_volumes)
+
+        # one pipeline per schedule; the schedule is decided in prepare(), so
+        # swap the module's choose_chunks around every prepare call (the
+        # script is single-threaded and prepares inline)
+        pipes = {
+            name: FusedVolumePipeline(apply_fn, cfg, patch_batch=patch_batch)
+            for name in ("uniform", "tailed")
+        }
+        chooser = {"uniform": uniform_choose, "tailed": tailed_choose}
+        slots = {}
+
+        def prepare(name, v):
+            fused_mod.choose_chunks = chooser[name]
+            try:
+                prep = pipes[name].prepare(v)
+            finally:
+                fused_mod.choose_chunks = tailed_choose
+            slots[name] = int(prep[4].shape[0])
+            return prep
+
+        for name in ("uniform", "tailed"):  # compile + warm both variants
+            pipes[name].fetch(pipes[name].dispatch(params, prepare(name, vols[0])))
+
+        def run_all(name):
+            pipe = pipes[name]
+            t0 = time.time()
+            pending = None
+            outs = []
+            for v in vols:
+                d = pipe.dispatch(params, prepare(name, v))
+                if pending is not None:
+                    outs.append(pipe.fetch(pending))
+                pending = d
+            outs.append(pipe.fetch(pending))
+            return len(vols) / (time.time() - t0), outs
+
+        seg = {"uniform": [], "tailed": []}
+        ref_out = None
+        max_diff = 0.0
+        for _ in range(segments):
+            for name in ("uniform", "tailed"):
+                vps, outs = run_all(name)
+                seg[name].append(vps)
+                if name == "uniform":
+                    ref_out = outs
+                else:
+                    # the tail forward runs at a different batch size, so
+                    # per-patch low bits may differ on the MXU; bound the
+                    # drift at the uint16 transfer quantization step
+                    for a, b in zip(ref_out, outs):
+                        max_diff = max(max_diff, float(np.abs(a - b).max()))
+                        np.testing.assert_allclose(a, b, atol=1e-4)
+
+        uni, tl = (statistics.median(seg[k]) for k in ("uniform", "tailed"))
+        return {
+            "experiment": "tail_chunk_schedule",
+            "patch_batch": patch_batch,
+            "n_volumes": n_volumes,
+            "segments": segments,
+            "slots_uniform": slots["uniform"],
+            "slots_tailed": slots["tailed"],
+            "uniform_vps_median": round(uni, 4),
+            "tailed_vps_median": round(tl, 4),
+            "speedup": round(tl / uni, 3),
+            "uniform_vps_segments": [round(v, 4) for v in seg["uniform"]],
+            "tailed_vps_segments": [round(v, 4) for v in seg["tailed"]],
+            "max_abs_diff": max_diff,
+        }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", choices=["sparse", "chain", "mask", "pbatch", "all"],
+    ap.add_argument("--which", choices=["sparse", "chain", "mask", "pbatch", "tail", "all"],
                     default="all")
     ap.add_argument("--segments", type=int, default=3)
     ap.add_argument("--shape", type=int, nargs=3, default=None,
@@ -363,6 +456,9 @@ def main():
                     help="chain: steps_per_dispatch values to compare")
     ap.add_argument("--pbatches", type=int, nargs="+", default=[96, 192],
                     help="pbatch: patch_batch values to compare")
+    ap.add_argument("--tail-pbatch", type=int, default=192,
+                    help="tail: patch_batch for the schedule A/B (CPU smoke: "
+                    "32 with --shape 96 96 120 -> 36 patches, tail 8)")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -391,6 +487,9 @@ def main():
     if args.which in ("pbatch", "all"):
         for r in bench_pbatch(args.segments, batches=tuple(args.pbatches)):
             print(json.dumps(r), flush=True)
+    if args.which in ("tail", "all"):
+        print(json.dumps(bench_tail(args.segments, patch_batch=args.tail_pbatch)),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ import pytest
 from light_unet_tpu.ops.gaussian import gaussian_importance_map
 from light_unet_tpu.ops.sliding_window import (
     SlidingWindowInferencer,
+    choose_chunks,
     compute_positions,
 )
 
@@ -146,6 +147,56 @@ def test_sharded_matches_single_device(tiny, rng):
     np.testing.assert_allclose(
         sharded_q(params, vol, post_mask=mask), single(params, vol) * mask, atol=1e-3
     )
+
+
+def test_choose_chunks_tail_bucket():
+    """Mixed chunk schedule: full chunks + one smaller power-of-two tail,
+    so 275 whole-body patches at patch_batch 192 pad to 320 slots, not 384."""
+    assert choose_chunks(275, 192) == (192, 128, 320)
+    assert choose_chunks(200, 192) == (192, 8, 200)
+    # tail would round up to the full chunk -> plain round-up, no tail
+    assert choose_chunks(275, 96) == (96, 0, 288)
+    # exact multiples and sub-chunk counts never get a tail
+    assert choose_chunks(192, 192) == (192, 0, 192)
+    assert choose_chunks(384, 192) == (192, 0, 384)
+    assert choose_chunks(5, 96) == (8, 0, 8)
+    assert choose_chunks(0, 96) == (8, 0, 8)
+
+
+def test_tail_chunk_matches_serial_and_uniform(tiny, rng):
+    """A patch count that engages the tail bucket (40 = 32 + pad(8)) must
+    reproduce both the serial reference and a uniform-chunk engine."""
+    model, params = tiny
+    apply_fn = lambda p, x: model.apply(p, x)
+    # (24,40,48) @ patch 16, overlap .5 -> 2*4*5 = 40 positions
+    vol = rng.random((24, 40, 48)).astype(np.float32)
+    tailed = SlidingWindowInferencer(apply_fn, (16, 16, 16), patch_batch=32, z_bucket=8)
+    prep = tailed.prepare(vol)
+    assert prep[7] == (32, 8)  # chunk 32 + tail 8 -> 40 slots, no padding
+    assert prep[4].shape[0] == 40
+    uniform = SlidingWindowInferencer(apply_fn, (16, 16, 16), patch_batch=8, z_bucket=8)
+    np.testing.assert_allclose(tailed(params, vol), uniform(params, vol), atol=1e-6)
+    ref = _serial_reference(vol, model, params, (16, 16, 16))
+    np.testing.assert_allclose(tailed(params, vol), ref, atol=2e-5)
+
+
+def test_fused_pipeline_tail_chunk(tiny, rng):
+    """The fused serving pipeline threads the tail schedule through its own
+    jit; output must match a no-tail pipeline exactly."""
+    from light_unet_tpu.config import Config
+    from light_unet_tpu.ops.fused import FusedVolumePipeline
+
+    model, params = tiny
+    apply_fn = lambda p, x: model.apply(p, x)
+    cfg = Config()
+    cfg.data.patch_size = [16, 16, 16]
+    cfg.tpu.z_bucket = 8
+    cfg.tpu.sparse_fetch = False
+    vol = rng.random((24, 40, 48)).astype(np.float32)
+    tailed = FusedVolumePipeline(apply_fn, cfg, patch_batch=32)
+    assert tailed.prepare(vol)[6] == (32, 8)
+    uniform = FusedVolumePipeline(apply_fn, cfg, patch_batch=8)
+    np.testing.assert_allclose(tailed(params, vol), uniform(params, vol), atol=2e-5)
 
 
 def test_packed_mask_upload_bit_identical(tiny, rng):
