@@ -37,7 +37,14 @@ def _make_volumes(tmpdir: Path, n: int):
     return ids
 
 
-def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
+def bench_tpu(
+    tmpdir: Path,
+    ids,
+    reps: int = 3,
+    max_reps: int = 7,
+    spread_ratio: float = 2.5,
+    rep_budget_s: float = 900.0,
+) -> dict:
     """Fused pipeline: decode (native, worker thread) -> ONE XLA program per
     volume (normalize + body mask + batched sliding window, body-masked
     output) -> fetch.  Host decode of case i+1 overlaps device compute of
@@ -48,7 +55,15 @@ def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
     alongside — and a separate non-pipelined pass breaks one volume's wall
     clock into decode / host-prep+dispatch / device-compute+fetch phases so
     the number explains itself (tunnel-link variance shows up as compute/
-    fetch spread)."""
+    fetch spread).
+
+    Tunnel-weather defense: one multi-minute link stall hitting 1-2 of 3
+    reps drags a median-of-3 far below the chip's capability (r4 session:
+    reps [0.099, 0.267, 0.721] vol/s — a 7x within-run spread).  When the
+    rep spread exceeds ``spread_ratio`` the loop keeps adding reps (up to
+    ``max_reps``, bounded by ``rep_budget_s``) so the reported median is a
+    median over enough of the session to average out the stalls — the same
+    median-of-N-within-one-session discipline every A/B in this repo uses."""
     import statistics
     from concurrent.futures import ThreadPoolExecutor
 
@@ -95,13 +110,21 @@ def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
     pipe(params, img)
     compile_s = time.time() - t0
 
-    # timed repetitions over the full volume set
+    # timed repetitions over the full volume set; extend past ``reps`` while
+    # the spread says a link stall polluted the sample (see docstring)
     rep_vps = []
     probs = None
-    for _ in range(reps):
+    loop_t0 = time.time()
+    while True:
         t0 = time.time()
         probs = run_all()
         rep_vps.append(len(ids) / (time.time() - t0))
+        if len(rep_vps) < reps:
+            continue
+        if len(rep_vps) >= max_reps or time.time() - loop_t0 > rep_budget_s:
+            break
+        if max(rep_vps) / max(min(rep_vps), 1e-9) <= spread_ratio:
+            break
     assert len(probs) == len(ids) and all(np.isfinite(p).all() for p in probs)
     vps = statistics.median(rep_vps)
 
@@ -131,7 +154,7 @@ def bench_tpu(tmpdir: Path, ids, reps: int = 3) -> dict:
         "phase_seconds_median": {k: round(statistics.median(v), 4) for k, v in phases.items()},
         "compile_seconds": compile_s,
         "n_volumes": len(ids),
-        "n_reps": reps,
+        "n_reps": len(rep_vps),
         "backend": jax.devices()[0].platform,
     }
 

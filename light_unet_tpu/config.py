@@ -342,9 +342,17 @@ class TpuConfig:
     # sparse_fetch_frac caps the packed HBM scratch as a fraction of the
     # grid; below 1.0 an occupancy overflow is detected exactly and falls
     # back to fetching the dense map, which never left the device.
-    sparse_fetch: bool = False
+    # Default ON: interleaved A/B on the real chip (2026-08-18,
+    # scripts/bench_link_opts.py --which sparse) measured 0.343 -> 0.612
+    # vol/s e2e (1.78x), bit-identical maps.
+    sparse_fetch: bool = True
     sparse_fetch_frac: float = 1.0
-    patch_batch: int = 96  # patches per sliding-window forward chunk (MXU-profiled)
+    # Patches per sliding-window forward chunk.  192 measured 0.525 ms/patch
+    # at 311 GB/s vs 96's 0.689 ms/patch at 259 GB/s (real chip, 2026-08-18
+    # roofline A/B); e2e 1.07x.  Note 275-patch whole-body volumes pad
+    # 2x192=384 slots vs 3x96=288, eating most of the per-patch gain — the
+    # residual win is one fewer chunk dispatch.
+    patch_batch: int = 192
     data_axis: str = "data"  # mesh axis for data parallelism
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
     # treat training.batch_size as PER-DEVICE: global batch = B x n_devices,
@@ -385,7 +393,12 @@ class TpuConfig:
     # amortizing the per-program dispatch RTT K-fold (the limiter at small
     # batch over a remote runtime).  Per-step math and rng streams are
     # bit-identical to K single dispatches.  1 = off.
-    steps_per_dispatch: int = 1
+    # Default 4: interleaved A/B on the real chip (2026-08-18, --which chain)
+    # measured 17.1 -> 19.2 steps/s at batch 2 (1.12x) and 17.3 -> 18.5 at
+    # batch 8 (1.07x); k=8 added nothing over k=4.  Requires
+    # separable_augment (validated; the map_coordinates oracle path falls
+    # back to K=1 to avoid the measured gather-composition regression).
+    steps_per_dispatch: int = 4
     # Separable augmentation resample (ops/augment.py): the rotate+scale
     # affine is block-diagonal, so trilinear factorizes exactly into a 1-D
     # interp matmul (MXU) + an in-plane 4-tap row-gather — replacing the 8
