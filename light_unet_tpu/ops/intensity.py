@@ -73,7 +73,18 @@ def compute_clip_values(
     image: np.ndarray, low_percentile: float = 0.5, high_percentile: float = 99.5
 ) -> Tuple[float, float]:
     """Host-side exact percentiles (numpy linear interpolation — identical to
-    the reference's ``np.percentile`` calls)."""
+    the reference's ``np.percentile`` calls).
+
+    Served by ``utils.fastio.percentiles`` when the native library is built:
+    two ``nth_element`` selections per quantile instead of a full volume
+    sort, bit-identical results (``tests/unit/test_fastio.py``), with a
+    transparent ``np.percentile`` fallback (no library, NaNs, non-f32)."""
+    from light_unet_tpu.utils import fastio
+
+    if image.dtype == np.float32:
+        native = fastio.percentiles(image, (low_percentile, high_percentile))
+        if native is not None:
+            return native[0], native[1]
     lo = float(np.percentile(image, low_percentile))
     hi = float(np.percentile(image, high_percentile))
     return lo, hi

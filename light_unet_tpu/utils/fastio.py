@@ -68,12 +68,98 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.fastio_decode_batch.restype = None
         lib.fastio_version.restype = ctypes.c_int
+        try:  # added in fastio_version 2; older .so builds lack the symbol
+            lib.fastio_order_stats.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_void_p,
+            ]
+            lib.fastio_order_stats.restype = ctypes.c_int
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def percentiles(data: np.ndarray, qs: Sequence[float]) -> Optional[List[float]]:
+    """``np.percentile(data, qs)``-exact values via native selection.
+
+    ``np.percentile`` sorts the full volume (O(n log n) and a host-core
+    monopoly for seconds on a whole-body PET); the linear-interpolation
+    method only needs TWO order statistics per quantile, which
+    ``fastio_order_stats`` finds with successive ``std::nth_element``
+    partitions (~k linear passes).  numpy divides q by ``float32(100)`` for
+    float32 arrays, so a python-float q runs the whole index/gamma/lerp
+    chain in float32 while an ``np.float64`` q promotes it to float64 — the
+    arithmetic below uses the same numpy scalar ops in the same order, so
+    NEP-50 promotion reproduces either chain bit-identically to the
+    reference's ``np.percentile`` calls (pinned in
+    ``tests/unit/test_fastio.py``).
+
+    Returns None when the native path can't serve the request (library or
+    symbol missing, non-float32 input — a different numpy dtype chain —
+    empty input, or non-finite values: NaN breaks the strict weak order
+    ``nth_element`` needs and inf breaks lerp exactness); the caller falls
+    back to numpy.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "fastio_order_stats"):
+        return None
+    data = np.asarray(data)
+    if data.dtype != np.float32:
+        return None
+    flat = np.ascontiguousarray(data.ravel())
+    n = flat.size
+    if n == 0:
+        return None
+    # non-finite detection happens inside the native scratch copy (kErrData
+    # -> rc != 0 -> numpy fallback); no separate host isfinite pass needed
+    # numpy 'linear': qt = q / f32(100); virtual index vi = (n-1)*qt;
+    # prev = floor(vi), next = prev+1, gamma = vi - floor(vi) — all in qt's
+    # promoted dtype (f32 for python-float q, f64 for np.float64 q)
+    ranks: List[int] = []
+    spec = []
+    for q in qs:
+        qt = np.true_divide(q, np.float32(100.0))
+        vi = (n - 1) * qt
+        prev_f = np.floor(vi)
+        prev = int(prev_f)
+        nxt = prev + 1
+        if vi >= n - 1:  # numpy's above-bounds clamp: both point at the max
+            prev = nxt = n - 1
+        prev = max(prev, 0)
+        nxt = min(max(nxt, 0), n - 1)
+        t = vi - prev_f
+        spec.append((prev, nxt, t))
+        ranks.extend((prev, nxt))
+    uniq = sorted(set(ranks))
+    idx = np.asarray(uniq, dtype=np.int64)
+    out = np.empty(len(uniq), dtype=np.float32)
+    rc = lib.fastio_order_stats(
+        flat.ctypes.data_as(ctypes.c_void_p), n,
+        idx.ctypes.data_as(ctypes.c_void_p), len(uniq),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    by_rank = dict(zip(uniq, out))
+    vals = []
+    for prev, nxt, t in spec:
+        a = by_rank[prev]
+        b = by_rank[nxt]
+        if prev == nxt:
+            vals.append(float(a))
+            continue
+        # numpy _lerp: diff in the data dtype, products promote with t
+        diff = b - a
+        if t >= 0.5:
+            vals.append(float(b - diff * (1 - t)))
+        else:
+            vals.append(float(a + diff * t))
+    return vals
 
 
 def read_header(path) -> Optional[nifti.Nifti1Header]:

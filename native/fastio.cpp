@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC fastio.cpp -o libfastio.so -lz -lpthread
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -33,6 +34,7 @@ enum ErrorCode {
   kErrDtype = -4,
   kErrShort = -5,
   kErrAlloc = -6,
+  kErrData = -7,  // non-finite values in order-stats input
 };
 
 struct Inflater {
@@ -282,6 +284,46 @@ int64_t fastio_gzip(const uint8_t* src, int64_t src_len, uint8_t* dst,
   return out;
 }
 
-int fastio_version() { return 1; }
+// Exact order statistics for float32 data: for each requested 0-based rank
+// in idx[0..k) (sorted ascending, each in [0, n)), write the value that a
+// full ascending sort would place at that rank into out[i].  Works on an
+// internal scratch copy (data untouched); successive nth_element calls
+// restrict to the tail partition, so k small ranks cost ~k linear passes.
+// Powers the host percentile path (np.percentile linear interpolation needs
+// two order stats per quantile; utils/fastio.py does the numpy-exact lerp).
+// Non-finite values (NaN breaks nth_element's strict weak order, inf breaks
+// the caller's lerp exactness) are detected HERE, fused into the scratch
+// copy so the Python wrapper needs no separate isfinite pass; kErrData is
+// returned and the wrapper falls back to numpy.
+// Returns 0, or a negative error on bad args / data / allocation failure.
+int fastio_order_stats(const float* data, int64_t n, const int64_t* idx,
+                       int k, float* out) try {
+  if (n <= 0 || k <= 0) return kErrHeader;
+  for (int i = 0; i < k; ++i) {
+    if (idx[i] < 0 || idx[i] >= n) return kErrHeader;
+    if (i > 0 && idx[i] < idx[i - 1]) return kErrHeader;
+  }
+  std::vector<float> scratch(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    if (!std::isfinite(data[i])) return kErrData;
+    scratch[i] = data[i];
+  }
+  int64_t start = 0;
+  for (int i = 0; i < k; ++i) {
+    if (i > 0 && idx[i] == idx[i - 1]) {
+      out[i] = out[i - 1];
+      continue;
+    }
+    std::nth_element(scratch.begin() + start, scratch.begin() + idx[i],
+                     scratch.end());
+    out[i] = scratch[idx[i]];
+    start = idx[i] + 1;
+  }
+  return kOk;
+} catch (...) {
+  return kErrAlloc;
+}
+
+int fastio_version() { return 2; }
 
 }  // extern "C"

@@ -120,3 +120,51 @@ def test_hostile_header_dims_do_not_crash(tmp_path, lib_available):
         f.write(bytes(buf))
     rc = lib.fastio_decode(str(path).encode(), out.ctypes.data_as(ctypes.c_void_p), 64, hbuf)
     assert rc < 0
+
+
+class TestOrderStatsPercentiles:
+    """Native percentile selection must be bit-identical to np.percentile."""
+
+    def test_matches_numpy_exact(self, rng, lib_available):
+        for shape, qs in [
+            ((67,), (0.5, 99.5)),
+            ((40, 31, 17), (0.5, 99.5)),
+            ((123456,), (0.0, 0.5, 37.2, 50.0, 99.5, 100.0)),
+        ]:
+            data = (rng.standard_normal(shape) * 100).astype(np.float32)
+            got = fastio.percentiles(data, qs)
+            assert got is not None
+            want = [float(np.percentile(data, q)) for q in qs]
+            assert got == want, f"shape={shape} qs={qs}: {got} != {want}"
+
+    def test_duplicates_and_constant(self, lib_available):
+        data = np.full((5000,), 3.25, np.float32)
+        assert fastio.percentiles(data, (0.5, 99.5)) == [3.25, 3.25]
+        data = np.repeat(np.float32([1, 2, 2, 2, 9]), 1000)
+        got = fastio.percentiles(data, (10.0, 50.0, 90.0))
+        want = [float(np.percentile(data, q)) for q in (10.0, 50.0, 90.0)]
+        assert got == want
+
+    def test_single_element(self, lib_available):
+        assert fastio.percentiles(np.float32([7.5]), (0.5, 99.5)) == [7.5, 7.5]
+
+    def test_nan_falls_back(self, lib_available):
+        data = np.float32([1.0, np.nan, 2.0])
+        assert fastio.percentiles(data, (50.0,)) is None
+
+    def test_empty_falls_back(self, lib_available):
+        assert fastio.percentiles(np.empty((0,), np.float32), (50.0,)) is None
+
+    def test_compute_clip_values_uses_native(self, rng, lib_available):
+        from light_unet_tpu.ops.intensity import compute_clip_values
+
+        data = (rng.random((30, 30, 30)) * 1000).astype(np.float32)
+        lo, hi = compute_clip_values(data)
+        assert lo == float(np.percentile(data, 0.5))
+        assert hi == float(np.percentile(data, 99.5))
+        # non-f32 input must take the numpy path and still be exact
+        lo64, hi64 = compute_clip_values(data.astype(np.float64))
+        assert (lo64, hi64) == (
+            float(np.percentile(data.astype(np.float64), 0.5)),
+            float(np.percentile(data.astype(np.float64), 99.5)),
+        )
