@@ -93,11 +93,12 @@ while [ "$pass" -lt "$MAX_PASSES" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
   run_step linkopt_mask  1800 python scripts/bench_link_opts.py --which mask    || break
   run_step linkopt_pbatch 2400 python scripts/bench_link_opts.py --which pbatch || break
   run_step linkopt_chain 3600 python scripts/bench_link_opts.py --which chain   || break
+  run_step linkopt_tail  1800 python scripts/bench_link_opts.py --which tail    || break
   run_step hard_chip     5400 python scripts/synthetic_training_run.py --hard \
       --epochs 40 --n-train 12 --n-val 5 --shape 96 96 120 --batch 8 \
       --validate-every 1 --scheduler plateau --plateau-patience 4 \
       --early-patience 10 --lr 1e-3 --out "$STATE/hard_chip_run.json"           || break
-  ls "$STATE"/*.done 2>/dev/null | wc -l | grep -q '^6$' && { say "all steps done"; exit 0; }
+  ls "$STATE"/*.done 2>/dev/null | wc -l | grep -q '^7$' && { say "all steps done"; exit 0; }
   sleep 60
 done
 say "runner exit (pass=$pass)"
