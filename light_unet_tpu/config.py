@@ -355,6 +355,15 @@ class TpuConfig:
     patch_batch: int = 192
     data_axis: str = "data"  # mesh axis for data parallelism
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
+    # Spatially-sharded inference (ops/sliding_window.py
+    # sliding_window_core_slab_sharded): the volume is split into z-slabs
+    # across the mesh with ppermute halo exchange — per-device memory is
+    # O(slab) instead of O(volume) and ICI moves two patch-wide halos
+    # instead of full-volume psums.  For volumes that outgrow one chip's
+    # HBM; the default patch-sharded fan-out is faster for whole-body PET
+    # (which fits comfortably).  Falls back to patch sharding when the
+    # padded z extent gives a slab smaller than one patch.
+    spatial_shard: bool = False
     # treat training.batch_size as PER-DEVICE: global batch = B x n_devices,
     # so every chip carries a shard even at the reference's batch 2 (scale
     # the learning rate for the larger global batch yourself, or set

@@ -144,6 +144,8 @@ class Inferencer:
             # block-sparse fetch only pays off when the map is fetched at all
             sparse_fetch=bool(cfg.tpu.sparse_fetch) and self.save_prob_maps,
             sparse_fetch_frac=cfg.tpu.sparse_fetch_frac,
+            # z-slab spatial sharding for volumes that outgrow one chip's HBM
+            spatial_shard=bool(getattr(cfg.tpu, "spatial_shard", False)),
         )
 
         self.prob_maps_dir = Path(self._resolve(cfg.output.prob_maps_dir))

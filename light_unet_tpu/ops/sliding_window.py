@@ -18,7 +18,12 @@ TPU-first redesign — NOT the reference's serial loop:
   dims, so numerics match the reference exactly);
 * the patch axis can be sharded across a device mesh (see
   ``parallel/mesh.py``) — each device accumulates its patch subset and the
-  partial maps are summed with ``psum`` over ICI.
+  partial maps are summed with ``psum`` over ICI;
+* alternatively the VOLUME can be sharded spatially into z-slabs with
+  halo exchange (``spatial_shard=True`` → per-device memory O(slab), ICI
+  traffic = two patch-wide halos instead of full-volume psums) — the mode
+  for volumes that outgrow one chip's HBM
+  (``sliding_window_core_slab_sharded``).
 
 Output in the valid (un-padded) region is numerically identical to the
 reference algorithm: accumulating a full patch into the padded buffer and
@@ -290,6 +295,123 @@ def sliding_window_core_sharded(
     return fn(params, volume, positions, mask, imp_map)
 
 
+def partition_positions_slab(
+    positions: np.ndarray, n_dev: int, slab: int, patch_batch: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Bucket window origins by owning z-slab (owner = z_start // slab) into
+    an SPMD-uniform ``[n_dev, cap, 3]`` position array plus a ``[n_dev, cap]``
+    validity mask.  ``cap`` is the largest bucket rounded up to the chunk
+    size, so every device runs the identical forward schedule (a shard_map
+    body must be the same program on all devices)."""
+    owner = positions[:, 2] // slab
+    buckets = [positions[owner == d] for d in range(n_dev)]
+    cap = max(1, max(len(b) for b in buckets))
+    chunk = choose_chunk(cap, patch_batch)
+    cap = _round_up(cap, chunk)
+    pos = np.zeros((n_dev, cap, 3), dtype=np.int32)
+    msk = np.zeros((n_dev, cap), dtype=np.float32)
+    for d, b in enumerate(buckets):
+        pos[d, : len(b)] = b
+        msk[d, : len(b)] = 1.0
+    return pos, msk, chunk
+
+
+def sliding_window_core_slab_sharded(
+    params, volume, true_dims, vlo, vhi, positions, mask, imp_map, post_mask,
+    apply_fn: Callable, patch_size, chunk: int, mesh, data_axis: str,
+    *, slab: int, dequant: bool, use_post_mask: bool, quantize_out: bool,
+):
+    """Multi-chip sliding window with the VOLUME sharded spatially (Z-slabs).
+
+    The patch-sharded path (``sliding_window_core_sharded``) replicates the
+    volume on every device and psums two full-volume accumulators over ICI —
+    fine for whole-body PET, but per-device HBM and collective bytes scale
+    with the FULL volume.  This variant applies the scaling-book halo-exchange
+    recipe instead (the "long-context" analogue flagged in SURVEY §5 — the
+    reference has no sequence axis; its scaling dimension is volume extent):
+
+    * the padded volume is sharded along its last (z-bucketed) axis — each
+      device holds one ``slab`` plus a ``patch_z``-wide halo fetched from its
+      right neighbor with ONE ``ppermute`` hop;
+    * each window is owned by the device holding its z origin; windows are
+      bucketed on host (``partition_positions_slab``) so gathers and forwards
+      are entirely local;
+    * scatter-add runs into a slab+halo local accumulator; the spill past the
+      slab boundary is ``ppermute``d to the right neighbor and added onto its
+      head (the reverse halo), then each device normalizes and masks its own
+      slab.  The output stays sharded.
+
+    Per-device memory is ``O(slab + patch_z)`` instead of ``O(volume)`` and
+    the ICI traffic is two halo exchanges (``2 * D*H*patch_z`` elements)
+    instead of two full-volume psums — this is the mode for volumes that
+    outgrow one chip's HBM.  Constraint: ``slab >= patch_z`` so one hop
+    covers the halo (enforced by the caller; it falls back to the
+    patch-sharded path otherwise).  The wrap-around permute entries are
+    harmless by construction: the last device's owned windows end inside the
+    volume (edge-snapped positions), so its spill is exactly zero and its
+    received halo is never read by a valid window."""
+    from jax.sharding import PartitionSpec as P
+
+    n = int(np.prod(mesh.devices.shape))
+    halo = int(patch_size[2])
+    send_head_left = [(i, (i - 1) % n) for i in range(n)]
+    send_spill_right = [(i, (i + 1) % n) for i in range(n)]
+
+    def per_device(params, vol, positions, mask, imp_map, post_mask, true_dims, vlo, vhi):
+        zoff = lax.axis_index(data_axis) * slab
+        if dequant:
+            v = vol.astype(jnp.float32) * ((vhi - vlo) / 65535.0) + vlo
+            dd = lax.broadcasted_iota(jnp.int32, vol.shape, 0) < true_dims[0]
+            hh = lax.broadcasted_iota(jnp.int32, vol.shape, 1) < true_dims[1]
+            ww = (lax.broadcasted_iota(jnp.int32, vol.shape, 2) + zoff) < true_dims[2]
+            vol = v * (dd & hh & ww).astype(jnp.float32)
+        # halo: every device sends its head to its LEFT neighbor, i.e.
+        # receives its RIGHT neighbor's first ``halo`` z-columns
+        recv = lax.ppermute(vol[:, :, :halo], data_axis, send_head_left)
+        vol_ext = jnp.concatenate([vol, recv], axis=2)
+
+        pos = positions.reshape(-1, 3)
+        pos = pos.at[:, 2].add(-zoff)  # global -> slab-local z origins
+        msk = mask.reshape(-1)
+
+        zero = jnp.zeros(vol_ext.shape, jnp.float32)
+        init = jax.tree_util.tree_map(
+            lambda x: jax.lax.pcast(x, (data_axis,), to="varying"), (zero, zero)
+        )
+        prob, count = sliding_window_core_parts(
+            params, vol_ext, pos, msk, imp_map, apply_fn, patch_size, chunk,
+            init=init,
+        )
+        # reverse halo: what I accumulated past my slab belongs to my right
+        # neighbor — ship the spill and add the one arriving from my left
+        spill_p = lax.ppermute(prob[:, :, slab:], data_axis, send_spill_right)
+        spill_c = lax.ppermute(count[:, :, slab:], data_axis, send_spill_right)
+        prob = prob[:, :, :slab].at[:, :, :halo].add(spill_p)
+        count = count[:, :, :slab].at[:, :, :halo].add(spill_c)
+        out = jnp.where(count > 0, prob / jnp.where(count > 0, count, 1.0), prob)
+        if use_post_mask:
+            out = out * post_mask.astype(jnp.float32)
+        if quantize_out:
+            out = jnp.round(jnp.clip(out, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+        return out
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(),  # params replicated
+            P(None, None, data_axis),  # volume: z-slab sharded
+            P(data_axis),  # per-device position buckets
+            P(data_axis),  # per-device validity masks
+            P(),  # importance map replicated
+            P(None, None, data_axis) if use_post_mask else P(),
+            P(), P(), P(),  # true_dims, vlo, vhi
+        ),
+        out_specs=P(None, None, data_axis),  # output stays sharded
+    )
+    return fn(params, volume, positions, mask, imp_map, post_mask, true_dims, vlo, vhi)
+
+
 def choose_chunk(n_patches: int, patch_batch: int) -> int:
     """Forward-chunk size for ``n_patches`` real patches: the smallest
     power-of-two bucket (>=8) that covers them, capped at ``patch_batch``.
@@ -340,6 +462,7 @@ class SlidingWindowInferencer:
         sparse_fetch: bool = False,
         sparse_fetch_frac: float = 1.0,
         pack_mask: bool = True,
+        spatial_shard: bool = False,
     ):
         self.apply_fn = apply_fn
         self.patch_size = tuple(int(p) for p in patch_size)
@@ -369,11 +492,32 @@ class SlidingWindowInferencer:
         # automatically when the padded last axis isn't byte-aligned
         self.pack_mask = bool(pack_mask)
 
-        # optional multi-chip fan-out: patch axis sharded over the mesh
+        # optional multi-chip fan-out: patch axis sharded over the mesh, or —
+        # with spatial_shard — the VOLUME sharded into z-slabs with halo
+        # exchange (per-device memory O(slab), for volumes that outgrow one
+        # chip's HBM; see sliding_window_core_slab_sharded)
         self.n_devices = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         self.mesh = mesh if self.n_devices > 1 else None
         self.data_axis = data_axis
+        self.spatial_shard = bool(spatial_shard) and self.mesh is not None
         if self.mesh is not None:
+            def _slab(params, volume, true_dims, vlo, vhi, positions, mask,
+                      imp_map, post_mask,
+                      *, chunk: int, slab: int, use_post_mask: bool,
+                      dequant: bool = False, quantize_out: bool = False):
+                return sliding_window_core_slab_sharded(
+                    params, volume, true_dims, vlo, vhi, positions, mask,
+                    imp_map, post_mask, self.apply_fn, self.patch_size, chunk,
+                    self.mesh, self.data_axis, slab=slab, dequant=dequant,
+                    use_post_mask=use_post_mask, quantize_out=quantize_out,
+                )
+
+            self._slab_jit = jax.jit(
+                _slab,
+                static_argnames=(
+                    "chunk", "slab", "use_post_mask", "dequant", "quantize_out",
+                ),
+            )
             def _sharded(params, volume, true_dims, vlo, vhi, positions, mask,
                          imp_map, post_mask,
                          *, chunk: int, use_post_mask: bool,
@@ -411,20 +555,50 @@ class SlidingWindowInferencer:
 
         positions = compute_positions(shape, self.patch_size, self.overlap)
         n = positions.shape[0]
-        if self.n_devices > 1:
+        pshape = bucketed_shape(shape, self.patch_size, self.z_bucket)
+
+        slab_mode = False
+        if self.spatial_shard:
+            # volume sharded into z-slabs with halo exchange; needs the
+            # padded z divisible by the mesh and a slab at least one patch
+            # wide so one ppermute hop covers the halo
+            pz = _round_up(pshape[2], self.n_devices)
+            if pz // self.n_devices >= self.patch_size[2]:
+                pshape = (pshape[0], pshape[1], pz)
+                slab_mode = True
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"spatial_shard: padded z extent {pz} gives slab "
+                    f"{pz // self.n_devices} < patch {self.patch_size[2]} on "
+                    f"{self.n_devices} devices; falling back to the "
+                    f"patch-sharded path",
+                    stacklevel=2,
+                )
+
+        if slab_mode:
+            slab = pshape[2] // self.n_devices
+            pos_padded, mask, chunk = partition_positions_slab(
+                positions, self.n_devices, slab, self.patch_batch
+            )
+            tail = 0
+        elif self.n_devices > 1:
             # sharded path: every device must run the same chunk schedule,
             # so keep the uniform round-up (no tail bucket)
             chunk = choose_chunk(max(1, n // self.n_devices), self.patch_batch)
             tail = 0
             n_pad = _round_up(max(n, 1), chunk * self.n_devices)
+            pos_padded = np.zeros((n_pad, 3), dtype=np.int32)
+            pos_padded[:n] = positions
+            mask = np.zeros((n_pad,), dtype=np.float32)
+            mask[:n] = 1.0
         else:
             chunk, tail, n_pad = choose_chunks(n, self.patch_batch)
-        pos_padded = np.zeros((n_pad, 3), dtype=np.int32)
-        pos_padded[:n] = positions
-        mask = np.zeros((n_pad,), dtype=np.float32)
-        mask[:n] = 1.0
-
-        pshape = bucketed_shape(shape, self.patch_size, self.z_bucket)
+            pos_padded = np.zeros((n_pad, 3), dtype=np.int32)
+            pos_padded[:n] = positions
+            mask = np.zeros((n_pad,), dtype=np.float32)
+            mask[:n] = 1.0
         region = (slice(0, shape[0]), slice(0, shape[1]), slice(0, shape[2]))
         vlo = vhi = 0.0
         if self.quantize_in:
@@ -441,7 +615,9 @@ class SlidingWindowInferencer:
             # order) cuts another 8x — the device unpack is one shift+and
             pm = np.zeros(pshape, dtype=np.uint8)
             pm[region] = np.asarray(post_mask) > 0
-            if self.pack_mask and pshape[2] % 8 == 0:
+            # slab mode shards the mask on its last axis, so it stays
+            # unpacked (a packed slab boundary would split a byte)
+            if self.pack_mask and pshape[2] % 8 == 0 and not slab_mode:
                 pm = np.packbits(pm, axis=2, bitorder="little")
         else:
             pm = np.zeros((1, 1, 1), dtype=np.uint8)  # unused placeholder
@@ -474,18 +650,28 @@ class SlidingWindowInferencer:
             self.imp_map,
             jnp.asarray(pm),
         )
+        slab_mode = np.asarray(pos_padded).ndim == 3  # [n_dev, cap, 3] buckets
         # cap depends only on the compile bucket shape, so sparse mode adds no
-        # program variants beyond the existing per-bucket set
+        # program variants beyond the existing per-bucket set.  Slab mode
+        # keeps the dense (sharded) output — its point is per-device memory,
+        # and block packing across slab boundaries would change tile layout.
         cap = (
             block_cap(vol_padded.shape, self.sparse_block, self.sparse_frac)
-            if self.sparse_fetch
+            if self.sparse_fetch and not slab_mode
             else 0
         )
         # a bit-packed mask is recognizable by its 8x-shorter last axis
         mask_packed = bool(
             use_post_mask and pm.shape[2] * 8 == vol_padded.shape[2]
         )
-        if self.mesh is not None:
+        if slab_mode:
+            out = self._slab_jit(
+                *args, chunk=chunk,
+                slab=vol_padded.shape[2] // self.n_devices,
+                use_post_mask=use_post_mask,
+                dequant=self.quantize_in, quantize_out=self.quantize_out,
+            )
+        elif self.mesh is not None:
             out = self._sharded_jit(
                 *args, chunk=chunk, use_post_mask=use_post_mask,
                 dequant=self.quantize_in, quantize_out=self.quantize_out,
