@@ -223,17 +223,25 @@ class FusedVolumePipeline:
             host_dtype = np.uint16
         else:
             host_dtype = np.float32
-        # single pass: numpy casts during the assignment into the padded buffer
-        padded = np.zeros(pshape, host_dtype)
+        padded = None
         if self.transfer_dtype == jnp.uint16:
-            scale = np.float32(65535.0 / (hi - lo)) if hi > lo else np.float32(0.0)
-            tmp = np.clip(image, lo, hi)
-            tmp -= np.float32(lo)
-            tmp *= scale
-            tmp += np.float32(0.5)  # round-to-nearest under the truncating cast
-            padded[tuple(slice(0, s) for s in shape)] = tmp
-        else:
-            padded[tuple(slice(0, s) for s in shape)] = image
+            # native single pass (clip+scale+round+cast+pad, GIL released,
+            # bit-identical — utils/fastio.py:quantize_pad); numpy chain as
+            # fallback
+            from light_unet_tpu.utils import fastio as _fastio
+
+            padded = _fastio.quantize_pad(image, pshape, lo, hi)
+        if padded is None:
+            padded = np.zeros(pshape, host_dtype)
+            if self.transfer_dtype == jnp.uint16:
+                scale = np.float32(65535.0 / (hi - lo)) if hi > lo else np.float32(0.0)
+                tmp = np.clip(image, lo, hi)
+                tmp -= np.float32(lo)
+                tmp *= scale
+                tmp += np.float32(0.5)  # round-to-nearest under the truncating cast
+                padded[tuple(slice(0, s) for s in shape)] = tmp
+            else:
+                padded[tuple(slice(0, s) for s in shape)] = image
 
         positions = compute_positions(shape, self.patch_size, 0.5)
         n = len(positions)

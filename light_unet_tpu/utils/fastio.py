@@ -76,6 +76,15 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.fastio_order_stats.restype = ctypes.c_int
         except AttributeError:
             pass
+        try:  # added in fastio_version 3
+            lib.fastio_quantize_pad.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ]
+            lib.fastio_quantize_pad.restype = ctypes.c_int
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
@@ -160,6 +169,55 @@ def percentiles(data: np.ndarray, qs: Sequence[float]) -> Optional[List[float]]:
         else:
             vals.append(float(a + diff * t))
     return vals
+
+
+def quantize_pad(
+    image: np.ndarray, pshape: Tuple[int, int, int], lo: float, hi: float
+) -> Optional[np.ndarray]:
+    """uint16-quantize ``image`` into the clip range [lo, hi] and place it in
+    a zero-padded C-ordered buffer of ``pshape`` — one native pass.
+
+    Replaces the serving path's numpy chain (``np.clip`` temp, three in-place
+    f32 passes, and a cast-assign that is also an F->C transpose copy for
+    decoded NIfTI views) with a single strided read + sequential write, GIL
+    released.  Bit-identical to the numpy chain (same f32 op order, compiled
+    with -ffp-contract=off; pinned + fuzzed in ``tests/unit/test_fastio.py``).
+
+    Returns None when the native path can't serve it (library/symbol missing,
+    non-f32 input, not 3-D); the caller falls back to numpy.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "fastio_quantize_pad"):
+        return None
+    image = np.asarray(image)
+    if image.dtype != np.float32 or image.ndim != 3 or len(pshape) != 3:
+        return None
+    if any(p < d for p, d in zip(pshape, image.shape)):
+        return None
+    if image.size == 0:
+        return None
+    itemsize = image.dtype.itemsize
+    if any(s % itemsize for s in image.strides):
+        return None  # misaligned view — let numpy handle it
+    dims = np.asarray(image.shape, dtype=np.int64)
+    strides_el = np.asarray(
+        [s // itemsize for s in image.strides], dtype=np.int64
+    )
+    pdims = np.asarray(pshape, dtype=np.int64)
+    # numpy computes the scale in float64 and THEN casts — reproduce exactly
+    scale = np.float32(65535.0 / (hi - lo)) if hi > lo else np.float32(0.0)
+    out = np.empty(pshape, dtype=np.uint16)
+    rc = lib.fastio_quantize_pad(
+        image.ctypes.data_as(ctypes.c_void_p),
+        dims.ctypes.data_as(ctypes.c_void_p),
+        strides_el.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        pdims.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_float(lo), ctypes.c_float(hi), ctypes.c_float(scale),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def read_header(path) -> Optional[nifti.Nifti1Header]:

@@ -324,6 +324,97 @@ int fastio_order_stats(const float* data, int64_t n, const int64_t* idx,
   return kErrAlloc;
 }
 
-int fastio_version() { return 2; }
+// Single-pass quantize+pad for the serving upload path
+// (light_unet_tpu/ops/fused.py FusedVolumePipeline.prepare): replaces the
+// numpy chain  clip -> -=lo -> *=scale -> +=0.5 -> uint16-cast-assign into a
+// zeroed padded buffer  (4 full-volume temporaries/passes plus an F->C
+// transpose copy, since decoded NIfTI volumes are Fortran-ordered views).
+// Reads the f32 source through arbitrary element strides, writes the
+// C-ordered padded uint16 destination sequentially, and zero-fills the
+// padding — one read pass + one write pass, no allocations.
+//
+// Bit-identical to the numpy chain by construction: the same four f32 ops in
+// the same order (the Makefile compiles with -ffp-contract=off so no FMA
+// contraction changes a rounding), and the final cast is C truncation like
+// numpy's astype. hi <= lo degenerates to scale = 0 exactly as the Python
+// path does. Returns 0 or a negative error.
+int fastio_quantize_pad(const float* src, const int64_t* dims,
+                        const int64_t* strides_el, uint16_t* dst,
+                        const int64_t* pdims, float lo, float hi,
+                        float scale) {
+  if (!src || !dst || !dims || !strides_el || !pdims) return kErrHeader;
+  const int64_t d0 = dims[0], d1 = dims[1], d2 = dims[2];
+  const int64_t p0 = pdims[0], p1 = pdims[1], p2 = pdims[2];
+  if (d0 <= 0 || d1 <= 0 || d2 <= 0 || d0 > p0 || d1 > p1 || d2 > p2)
+    return kErrHeader;
+  const int64_t s0 = strides_el[0], s1 = strides_el[1], s2 = strides_el[2];
+  // scale arrives precomputed: numpy derives it as f32(65535.0 / (hi - lo))
+  // in FLOAT64 before the f32 cast — computing it here in f32 would round
+  // differently (caught by the bit-identity fuzz test)
+
+  // numpy chain: clip, subtract, multiply, add — each a separate f32
+  // rounding (fp-contract off keeps it that way)
+  auto quant = [lo, hi, scale](float v) -> uint16_t {
+    if (v < lo) v = lo;
+    if (v > hi) v = hi;
+    v = v - lo;
+    v = v * scale;
+    v = v + 0.5f;
+    return static_cast<uint16_t>(v);
+  };
+
+  // zero the padding margins (cheap: memset only the pad region)
+  for (int64_t i = d0; i < p0; ++i)
+    std::memset(dst + i * p1 * p2, 0,
+                static_cast<size_t>(p1) * p2 * sizeof(uint16_t));
+  for (int64_t i = 0; i < d0; ++i) {
+    uint16_t* plane = dst + i * p1 * p2;
+    for (int64_t j = d1; j < p1; ++j)
+      std::memset(plane + j * p2, 0,
+                  static_cast<size_t>(p2) * sizeof(uint16_t));
+    if (d2 < p2)
+      for (int64_t j = 0; j < d1; ++j)
+        std::memset(plane + j * p2 + d2, 0,
+                    static_cast<size_t>(p2 - d2) * sizeof(uint16_t));
+  }
+
+  if (s0 == 1 && d0 > 1) {
+    // Fortran-contiguous source (decoded NIfTI views): out[i,j,k] =
+    // src[i + j*s1 + k*s2] is a full transpose between the src-contiguous
+    // axis (i) and the dst-contiguous axis (k).  Walk 64x64 (i,k) tiles per
+    // j so both sides stay cache-resident (naive order misses a line per
+    // element: measured 104 ms vs ~35 ms blocked on a whole-body volume).
+    constexpr int64_t kTile = 64;
+    for (int64_t j = 0; j < d1; ++j) {
+      const float* sj = src + j * s1;
+      uint16_t* pj = dst + j * p2;
+      for (int64_t i0 = 0; i0 < d0; i0 += kTile) {
+        const int64_t i1 = std::min(i0 + kTile, d0);
+        for (int64_t k0 = 0; k0 < d2; k0 += kTile) {
+          const int64_t k1 = std::min(k0 + kTile, d2);
+          for (int64_t k = k0; k < k1; ++k) {
+            const float* s = sj + k * s2;
+            for (int64_t i = i0; i < i1; ++i)
+              pj[i * p1 * p2 + k] = quant(s[i]);
+          }
+        }
+      }
+    }
+    return kOk;
+  }
+
+  for (int64_t i = 0; i < d0; ++i) {
+    uint16_t* plane = dst + i * p1 * p2;
+    for (int64_t j = 0; j < d1; ++j) {
+      uint16_t* row = plane + j * p2;
+      const float* s = src + i * s0 + j * s1;
+      for (int64_t k = 0; k < d2; ++k)
+        row[k] = quant(s[k * s2]);
+    }
+  }
+  return kOk;
+}
+
+int fastio_version() { return 3; }
 
 }  // extern "C"

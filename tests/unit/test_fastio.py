@@ -168,3 +168,93 @@ class TestOrderStatsPercentiles:
             float(np.percentile(data.astype(np.float64), 0.5)),
             float(np.percentile(data.astype(np.float64), 99.5)),
         )
+
+
+def _numpy_quantize_pad(image, pshape, lo, hi):
+    """The serving path's original numpy chain (fused.py fallback)."""
+    padded = np.zeros(pshape, np.uint16)
+    scale = np.float32(65535.0 / (hi - lo)) if hi > lo else np.float32(0.0)
+    tmp = np.clip(image, lo, hi)
+    tmp -= np.float32(lo)
+    tmp *= scale
+    tmp += np.float32(0.5)
+    padded[tuple(slice(0, s) for s in image.shape)] = tmp
+    return padded
+
+
+class TestQuantizePad:
+    """Native single-pass quantize+pad must be bit-identical to the numpy
+    chain it replaces (clip -> -=lo -> *=scale -> +=0.5 -> uint16 cast into a
+    zeroed padded buffer)."""
+
+    def test_fuzz_bit_identical(self, rng, lib_available):
+        for trial in range(30):
+            d = tuple(int(x) for x in rng.integers(1, 24, size=3))
+            p = tuple(dd + int(x) for dd, x in zip(d, rng.integers(0, 9, size=3)))
+            img = (rng.random(d, dtype=np.float32) * 20 - 3).astype(np.float32)
+            if trial % 3 == 1:
+                img = np.asfortranarray(img)  # decoded-NIfTI layout
+            elif trial % 3 == 2:
+                big = (rng.random((d[0] + 4, d[1] + 2, d[2] + 5), dtype=np.float32) * 20)
+                img = big[2 : 2 + d[0], 1 : 1 + d[1], 3 : 3 + d[2]]  # strided view
+            lo = float(rng.random() * 4 - 1)
+            hi = lo + float(rng.random() * 10)
+            out = fastio.quantize_pad(img, p, lo, hi)
+            assert out is not None
+            assert np.array_equal(out, _numpy_quantize_pad(img, p, lo, hi))
+
+    def test_wholebody_fortran_layout(self, rng, lib_available):
+        img = np.asfortranarray(
+            (rng.random((80, 80, 120)) * 15 - 1).astype(np.float32)
+        )
+        p = (80, 80, 128)
+        out = fastio.quantize_pad(img, p, 0.2, 11.7)
+        assert np.array_equal(out, _numpy_quantize_pad(img, p, 0.2, 11.7))
+
+    def test_degenerate_range(self, lib_available):
+        img = np.full((4, 4, 4), 3.0, np.float32)
+        out = fastio.quantize_pad(img, (4, 4, 6), 3.0, 3.0)  # hi == lo
+        assert np.array_equal(out, _numpy_quantize_pad(img, (4, 4, 6), 3.0, 3.0))
+        out = fastio.quantize_pad(img, (4, 4, 6), 5.0, 2.0)  # hi < lo
+        assert np.array_equal(out, _numpy_quantize_pad(img, (4, 4, 6), 5.0, 2.0))
+
+    def test_extremes_clip_exactly(self, lib_available):
+        img = np.array(
+            [[[-1e30, 1e30, 0.0, 0.5]]], np.float32
+        )  # +-inf-magnitude floats clamp to the range ends
+        out = fastio.quantize_pad(img, (1, 1, 4), 0.0, 1.0)
+        assert np.array_equal(out, _numpy_quantize_pad(img, (1, 1, 4), 0.0, 1.0))
+        assert out[0, 0, 0] == 0 and out[0, 0, 1] == 65535
+
+    def test_rejects_unsupported(self, rng, lib_available):
+        f64 = rng.random((3, 3, 3))
+        assert fastio.quantize_pad(f64, (3, 3, 3), 0.0, 1.0) is None
+        f32_2d = rng.random((3, 3)).astype(np.float32)
+        assert fastio.quantize_pad(f32_2d, (3, 3, 3), 0.0, 1.0) is None
+        small_pad = rng.random((4, 4, 4)).astype(np.float32)
+        assert fastio.quantize_pad(small_pad, (4, 4, 3), 0.0, 1.0) is None
+        empty = np.zeros((0, 3, 3), np.float32)
+        assert fastio.quantize_pad(empty, (1, 3, 3), 0.0, 1.0) is None
+
+    def test_fused_prepare_uses_native(self, rng, lib_available, monkeypatch):
+        """FusedVolumePipeline.prepare's uint16 upload buffer must be
+        bit-identical whether the native path or the numpy fallback builds
+        it."""
+        from light_unet_tpu.config import Config
+        from light_unet_tpu.ops import fused as fused_mod
+
+        cfg = Config()
+        cfg.data.patch_size = [16, 16, 16]
+        pipe = fused_mod.FusedVolumePipeline(
+            lambda p, x: x[..., :1], cfg, patch_batch=8, transfer_dtype="uint16"
+        )
+        img = np.asfortranarray(
+            (rng.random((20, 22, 30)) * 12 - 1).astype(np.float32)
+        )
+        native = np.asarray(pipe.prepare(img)[0])
+        monkeypatch.setattr(
+            "light_unet_tpu.utils.fastio.quantize_pad", lambda *a, **k: None
+        )
+        fallback = np.asarray(pipe.prepare(img)[0])
+        assert native.dtype == fallback.dtype == np.uint16
+        assert np.array_equal(native, fallback)
