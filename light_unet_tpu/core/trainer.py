@@ -142,6 +142,27 @@ class Trainer:
 
         self.loss_fn = get_loss_function(cfg.loss)
 
+        # real validation loss (fixes reference defect trainer.py:445, which
+        # hardcodes val_loss = 0.0): the prob map is device-resident anyway,
+        # so the configured loss over (prob, GT) per case is one cheap masked
+        # reduction — only a scalar crosses D2H.  Masked (not cropped) so the
+        # bucket-padded program is reused across case shapes; equals the loss
+        # on the cropped arrays (padding is zero in both operands; BCE's mean
+        # uses the masked voxel count).  See models/losses.py:masked_loss.
+        from light_unet_tpu.models.losses import get_masked_loss_function
+        from light_unet_tpu.ops.sliding_window import _valid_mask
+
+        _masked = get_masked_loss_function(cfg.loss)
+
+        @jax.jit
+        def _val_loss_device(prob, gt_ids, true_dims):
+            if prob.dtype == jnp.uint16:  # quantized fetch path
+                prob = prob.astype(jnp.float32) * (1.0 / 65535.0)
+            gt = (gt_ids > 0).astype(jnp.float32)
+            return _masked(prob, gt, _valid_mask(prob.shape, true_dims))
+
+        self._val_loss_device = _val_loss_device
+
         # --- mesh / sharding (before the optimizer: pod LR scaling needs
         # the device count) -------------------------------------------------
         self.mesh = mesh_from_config(cfg.tpu, batch_size=cfg.training.batch_size)
@@ -725,11 +746,13 @@ class Trainer:
                 self._val_sweep_big = big
             return self._val_sweep_big
 
+        from light_unet_tpu.models.losses import host_val_loss
         from light_unet_tpu.models.metrics import SMOOTH, calculate_dsc, lesion_metrics_sweep
 
         acc = {t: {"tp": 0, "fp": 0, "fn": 0, "inter": 0.0, "union": 0.0, "dsc": []}
                for t in thresholds}
         n_cases = 0
+        case_losses: list = []  # device scalars + host floats; synced in bulk
         # device-sweep vs host-fallback accounting (VERDICT r3 #4): early
         # epochs can legitimately overflow the device component cap at low
         # thresholds; each fallback fetches a whole prob map over the link.
@@ -778,6 +801,17 @@ class Trainer:
                         self._val_overflow_backoff[sample.case_id] = 3
             if res is not None:
                 sweep_stats["device"] += 1
+                # real val loss, fully on device: the sweep's resident GT id
+                # map doubles as the binary target (ids > 0)
+                case_losses.append(
+                    self._val_loss_device(
+                        dispatched[0],
+                        self._val_sweep.gt_ids_padded(
+                            sample.case_id, dispatched[0].shape
+                        ),
+                        jnp.asarray(np.asarray(sample.label.shape, np.int32)),
+                    )
+                )
                 for t, r in zip(thresholds, res):
                     dsc = (2.0 * r["inter_sum"] + SMOOTH) / (
                         r["pred_sum"] + r["gt_sum"] + SMOOTH
@@ -791,6 +825,14 @@ class Trainer:
             sweep_stats["host"] += 1
             prob_map = self.sw.fetch(dispatched)
             sweep_stats["host_fetch_bytes"] += int(prob_map.nbytes)
+            # val loss on host from the already-fetched map (re-uploading it
+            # just to reuse the device loss program would cost more link
+            # bytes than the whole fallback)
+            case_losses.append(
+                host_val_loss(
+                    prob_map, np.asarray(sample.label) >= 0.5, cfg.loss
+                )
+            )
             lm = lesion_metrics_sweep(
                 prob_map, sample.label, thresholds,
                 iou_threshold=iou_thr, distance_threshold_mm=dist_thr, spacing=sp,
@@ -910,9 +952,12 @@ class Trainer:
         self.writer.add_scalar(
             "Validation/host_fallback_cases", sweep_stats["host"], epoch
         )
-        # val_loss: the reference hardcodes 0.0 (trainer.py:445); we keep the
-        # slot for history parity but do not fabricate a value
-        return 0.0, best
+        # real val_loss (mean of the per-case configured loss) — the
+        # reference hardcodes 0.0 here (trainer.py:445); with device-resident
+        # prob maps + GT the genuine value costs one reduction per case
+        val_loss = float(np.mean([float(x) for x in case_losses])) if case_losses else 0.0
+        self.writer.add_scalar("Loss/val", val_loss, epoch)
+        return val_loss, best
 
     # ------------------------------------------------------------------
     def save_checkpoint_file(self, epoch: int, is_best: bool = False) -> None:

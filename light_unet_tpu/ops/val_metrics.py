@@ -287,6 +287,35 @@ class DeviceValidationSweep:
     def has_case(self, case_id: str) -> bool:
         return case_id in self._gt
 
+    def release_case(self, case_id: str) -> None:
+        """Drop a case's device-resident GT (id map + padded variants) —
+        evaluate-stage hygiene: one sweep serves a whole split, but each
+        case's GT is needed only while that case is being scored."""
+        self._gt.pop(case_id, None)
+
+    def gt_ids_padded(self, case_id: str, shape):
+        """The case's device GT id map, zero-padded to ``shape`` (cached per
+        shape under the joint ledger — always derived from the UNPADDED base
+        map).  Shared by the metrics sweep and the trainer's validation-loss
+        program: padding voxels are id 0 = background, so both consumers see
+        exact semantics on bucket-padded probability maps."""
+        gt = self._gt[case_id]
+        gt_ids = gt["base_ids"]
+        if tuple(shape) == tuple(gt_ids.shape):
+            return gt_ids
+        cached = gt["device_ids"].get(tuple(shape))
+        if cached is None:
+            pads = [(0, p - s) for p, s in zip(shape, gt_ids.shape)]
+            cached = jnp.pad(gt_ids, pads)
+            # cache the padded variant only if the joint ledger has room;
+            # otherwise recompute per epoch (cheap device pad) instead of
+            # accumulating unaccounted copies per bucket shape
+            if self.ledger is None or self.ledger.try_charge(
+                "val_gt_ids_padded", int(cached.nbytes)
+            ):
+                gt["device_ids"][tuple(shape)] = cached
+        return cached
+
     def case_metrics(
         self, case_id: str, prob_dev, spacing: Sequence[float],
         iou_threshold: float = 0.1, distance_threshold_mm: float = 10.0,
@@ -298,22 +327,7 @@ class DeviceValidationSweep:
         zero and threshold>0 keeps them background, so the padded program
         is exact as long as the id map is padded the same way."""
         gt = self._gt[case_id]
-        gt_ids = gt["base_ids"]
-        if prob_dev.shape != gt_ids.shape:
-            # pad the GT id map to the prob map's bucket shape (cached per
-            # shape — always derived from the UNPADDED base map)
-            cached = gt["device_ids"].get(prob_dev.shape)
-            if cached is None:
-                pads = [(0, p - s) for p, s in zip(prob_dev.shape, gt_ids.shape)]
-                cached = jnp.pad(gt_ids, pads)
-                # cache the padded variant only if the joint ledger has room;
-                # otherwise recompute per epoch (cheap device pad) instead of
-                # accumulating unaccounted copies per bucket shape
-                if self.ledger is None or self.ledger.try_charge(
-                    "val_gt_ids_padded", int(cached.nbytes)
-                ):
-                    gt["device_ids"][prob_dev.shape] = cached
-            gt_ids = cached
+        gt_ids = self.gt_ids_padded(case_id, prob_dev.shape)
         # int32 exactness envelope: flat indices / joint pair ids must fit
         # int32, and extents < 4096 keep the split coordinate sums exact
         # (see _MAX_EXACT_COMPONENT).  Out-of-envelope volumes take the host

@@ -149,6 +149,36 @@ def test_sharded_matches_single_device(tiny, rng):
     )
 
 
+def test_sharded_tail_chunk_matches_single_device(tiny, rng):
+    """The mixed (chunk + tail) schedule in the SHARDED path (VERDICT r4
+    weak#3): one shared (chunk, tail) pair is the same program on every
+    device, so SPMD-uniformity permits it.  Must reduce padded slots vs the
+    uniform round-up and reproduce the single-device result."""
+    from light_unet_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    model, params = tiny
+    apply_fn = lambda p, x: model.apply(p, x)
+    # 72x48x40 at patch 16 / stride 8 -> 8*5*4 = 160 positions; on 8 devices
+    # per_dev = 20 -> chunk 16 + tail 8 = 24 slots/device (192 total) vs the
+    # uniform round-up's 32 (256 total)
+    vol = rng.random((72, 48, 40), dtype=np.float32).astype(np.float32)
+    mesh = create_mesh("data", jax.devices())
+    sharded = SlidingWindowInferencer(
+        apply_fn, (16, 16, 16), patch_batch=16, z_bucket=16, mesh=mesh
+    )
+    prep = sharded.prepare(vol)
+    chunk, tail = prep[7]
+    assert (chunk, tail) == (16, 8)
+    assert prep[4].shape[0] == 8 * 24  # padded slots reduced from 8 * 32
+
+    single = SlidingWindowInferencer(apply_fn, (16, 16, 16), patch_batch=16, z_bucket=16)
+    np.testing.assert_allclose(
+        sharded.fetch(sharded.dispatch(params, prep)), single(params, vol), atol=1e-5
+    )
+
+
 def test_slab_sharded_matches_single_device(tiny, rng):
     """Z-slab spatially-sharded sliding window (volume sharded over the mesh,
     ppermute halo exchange, output sharded) must reproduce the single-device

