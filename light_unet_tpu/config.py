@@ -385,6 +385,17 @@ class TpuConfig:
     # f32 patches).
     device_corpus: bool = True
     device_corpus_budget_gb: float = 6.0
+    # Shard the training corpus's CASE axis over the mesh instead of
+    # replicating it (datasets/device_corpus.py:gather_patches_sharded):
+    # per-chip HBM residency scales as ~1/D and the budget admits corpora up
+    # to D x device_corpus_budget_gb.  Each step routes the corner batch to
+    # owner chips inside a shard_map (masked local gathers + one integer
+    # psum_scatter over ICI — each case lives on exactly one chip, so the
+    # reduce is exact); batches are bit-identical to the replicated gather.
+    # Default off: whole-body-at-4mm cohorts fit one chip, and the
+    # replicated gather needs no per-step collective.  Turn on when the
+    # corpus outgrows one chip's budget on a pod.
+    shard_corpus: bool = False
     # per-epoch validation metrics computed ON DEVICE (ops/val_metrics.py):
     # probability maps never leave the chip — only per-threshold component
     # tables do.  Exact host fallback per case on component-count overflow.

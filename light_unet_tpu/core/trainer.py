@@ -291,9 +291,25 @@ class Trainer:
             )
             self._chain = 1
         if self.corpus is not None:
-            from light_unet_tpu.datasets.device_corpus import gather_patches
+            from light_unet_tpu.datasets.device_corpus import (
+                gather_patches,
+                gather_patches_sharded,
+            )
 
-            self._gather_patches = jax.jit(gather_patches, static_argnums=(3,))
+            if self.corpus.sharded:
+                # case-sharded corpus: the gather routes corners to owner
+                # chips (shard_map + psum_scatter); corners are uploaded
+                # replicated (every chip must see the full batch to find
+                # its local rows)
+                self._gather_patches = jax.jit(
+                    partial(
+                        gather_patches_sharded,
+                        mesh=self.mesh, data_axis=cfg.tpu.data_axis,
+                    ),
+                    static_argnums=(3,),
+                )
+            else:
+                self._gather_patches = jax.jit(gather_patches, static_argnums=(3,))
             if self._chain > 1:
                 self._train_chain = self._build_train_chain()
 
@@ -386,6 +402,12 @@ class Trainer:
         cfg = self.config
         patch = tuple(cfg.data.patch_size)
         budget = float(getattr(cfg.tpu, "device_corpus_budget_gb", 6.0))
+        # case-sharded corpus (tpu.shard_corpus): per-chip residency ~1/D,
+        # budget checked per chip inside build (VERDICT r4 missing#2)
+        shard = bool(getattr(cfg.tpu, "shard_corpus", False)) and self.mesh is not None
+        build_kw = dict(
+            evict=True, mesh=self.mesh, data_axis=cfg.tpu.data_axis, shard=shard
+        )
         # joint accounting: the corpus may use at most what the ledger has
         # left after params/opt state (+ the activation reserve) — a larger
         # cohort shrinks the corpus budget instead of oversubscribing HBM
@@ -401,7 +423,7 @@ class Trainer:
         if mode == "standard":
             sampler = train_result["train_loader"].sampler
             cases = list(sampler.cases)
-            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, evict=True)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, **build_kw)
             if corpus is None:
                 return
             self.corpus = corpus
@@ -409,7 +431,7 @@ class Trainer:
         elif mode == "probabilistic":
             ds = train_result["train_dataset"]
             cases = list(ds.fl_sampler.cases) + list(ds.dlbcl_sampler.cases)
-            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, evict=True)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, **build_kw)
             if corpus is None:
                 return
             n_fl = len(ds.fl_sampler.cases)
@@ -422,7 +444,7 @@ class Trainer:
             fl_s = train_result["fl_dataset"]
             db_s = train_result["dlbcl_dataset"]
             cases = list(fl_s.cases) + list(db_s.cases)
-            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, evict=True)
+            corpus = DeviceCorpus.build(cases, self.cache, patch, budget, **build_kw)
             if corpus is None:
                 return
             n_fl = len(fl_s.cases)
@@ -432,13 +454,11 @@ class Trainer:
                 db_s, corpus, self.global_batch,
                 case_offset_of=lambda which, idx: idx + n_fl,
             )
-        if self.mesh is not None:
+        if self.mesh is not None and not self.corpus.sharded:
             self.corpus.replicate(self.mesh)
-        # per-chip bytes (replication puts a full copy on every chip)
-        self.ledger.charge(
-            "train_corpus",
-            int(self.corpus.images.nbytes) + int(self.corpus.labels.nbytes),
-        )
+        # PER-CHIP bytes: replication puts a full copy on every chip;
+        # case-sharding (tpu.shard_corpus) charges ~1/D per chip
+        self.ledger.charge("train_corpus", int(self.corpus.per_chip_bytes))
         # With the corpus resident, every remaining pixel read (patch gather,
         # augmentation, loss) happens in HBM and the samplers' location lists
         # are already drawn — the decode-once f32 train volumes in the host
@@ -500,14 +520,25 @@ class Trainer:
         that keeps the SINGLE-step gather a standalone program)."""
         step_core = self._build_step_core()
         patch = tuple(self.config.data.patch_size)
-        from light_unet_tpu.datasets.device_corpus import gather_patches
+        from light_unet_tpu.datasets.device_corpus import (
+            gather_patches,
+            gather_patches_sharded,
+        )
+
+        if self.corpus is not None and self.corpus.sharded:
+            gather = partial(
+                gather_patches_sharded,
+                mesh=self.mesh, data_axis=self.config.tpu.data_axis,
+            )
+        else:
+            gather = gather_patches
 
         @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(6,))
         def train_chain(params, opt_state, corpus_img, corpus_lbl, corners_k, keys_k, _patch):
             def body(carry, xs):
                 p, o = carry
                 corners, key = xs
-                images, labels = gather_patches(corpus_img, corpus_lbl, corners, _patch)
+                images, labels = gather(corpus_img, corpus_lbl, corners, _patch)
                 p, o, loss = step_core(p, o, images, labels, key)
                 return (p, o), loss
 
@@ -533,7 +564,10 @@ class Trainer:
             for _ in range(batch.shape[0]):
                 self.rng, k = jax.random.split(self.rng)
                 step_keys.append(k)
-            corners_k = shard_chain(batch, self.mesh, self.config.tpu.data_axis)
+            if self.corpus.sharded:  # see the single-step branch below
+                corners_k = replicate(batch, self.mesh)
+            else:
+                corners_k = shard_chain(batch, self.mesh, self.config.tpu.data_axis)
             self.params, self.opt_state, losses = self._train_chain(
                 self.params, self.opt_state,
                 self.corpus.images, self.corpus.labels,
@@ -542,7 +576,12 @@ class Trainer:
             return losses
         self.rng, step_key = jax.random.split(self.rng)
         if isinstance(batch, np.ndarray) and batch.ndim == 2:  # corpus corners
-            corners = shard_batch(batch, self.mesh, self.config.tpu.data_axis)
+            if self.corpus.sharded:
+                # sharded corpus: all chips see the full corner batch (each
+                # routes its local rows inside the shard_map gather)
+                corners = replicate(batch, self.mesh)
+            else:
+                corners = shard_batch(batch, self.mesh, self.config.tpu.data_axis)
             # standalone gather dispatch (see __init__ for why it is NOT
             # fused into the train step); output stays on device, the train
             # step's uint16/uint8 dequantize path consumes it unchanged

@@ -255,3 +255,111 @@ def test_chained_dispatch_requires_separable_augment(tmp_path):
     assert t._chain == 1 and t._train_chain is None
     assert any("separable_augment" in str(w.message) for w in caught)
     t.writer.close()
+
+
+def test_sharded_gather_bit_identical_to_replicated():
+    """Case-sharded corpus (tpu.shard_corpus, VERDICT r4 missing#2): the
+    shard_map corner-routing gather must be BIT-identical to the replicated
+    gather, per-device residency must be ~1/D, and the output must come back
+    batch-sharded over all devices."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from light_unet_tpu.datasets.device_corpus import gather_patches_sharded
+    from light_unet_tpu.parallel.mesh import create_mesh, replicate
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from functools import partial
+
+    rng = np.random.default_rng(17)
+    mesh = create_mesh("data", jax.devices())
+    n_cases, n_rows, batch, patch = 11, 16, 16, (8, 8, 8)
+    bucket = (20, 20, 24)
+    img = np.zeros((n_rows, *bucket), np.uint16)  # rows 11..15 are padding
+    lbl = np.zeros((n_rows, *bucket), np.uint8)
+    img[:n_cases] = rng.integers(0, 65536, (n_cases, *bucket), dtype=np.uint16)
+    lbl[:n_cases] = rng.integers(0, 2, (n_cases, *bucket), dtype=np.uint8)
+
+    img_sh = jax.device_put(img, NamedSharding(mesh, P("data")))
+    lbl_sh = jax.device_put(lbl, NamedSharding(mesh, P("data")))
+    img_rep = replicate(jnp.asarray(img), mesh)
+    lbl_rep = replicate(jnp.asarray(lbl), mesh)
+
+    corners = np.stack([
+        rng.integers(0, n_cases, batch),
+        rng.integers(0, bucket[0] - patch[0] + 1, batch),
+        rng.integers(0, bucket[1] - patch[1] + 1, batch),
+        rng.integers(0, bucket[2] - patch[2] + 1, batch),
+    ], axis=1).astype(np.int32)
+
+    gi_r, gl_r = jax.jit(gather_patches, static_argnums=(3,))(
+        img_rep, lbl_rep,
+        jax.device_put(corners, NamedSharding(mesh, P("data"))), patch,
+    )
+    gi_s, gl_s = jax.jit(
+        partial(gather_patches_sharded, mesh=mesh, data_axis="data"),
+        static_argnums=(3,),
+    )(img_sh, lbl_sh, jax.device_put(corners, NamedSharding(mesh, P())), patch)
+
+    np.testing.assert_array_equal(np.asarray(gi_r), np.asarray(gi_s))
+    np.testing.assert_array_equal(np.asarray(gl_r), np.asarray(gl_s))
+    # residency: each device holds exactly rows/D of the stack
+    for d in jax.devices():
+        nb = sum(s.data.nbytes for s in img_sh.addressable_shards if s.device == d)
+        assert nb == img_sh.nbytes // 8
+    # output is batch-sharded over every device (feeds the train step as-is)
+    assert len({s.device for s in gi_s.addressable_shards}) == 8
+
+
+def test_trainer_sharded_corpus_loss_bit_identical(tmp_path):
+    """End-to-end pin for tpu.shard_corpus: two Trainers, same seed, corpus
+    sharded vs replicated — identical per-step losses (incl. through the
+    chained-dispatch path), and the HBM ledger charges ~1/D per chip."""
+    import jax
+
+    from light_unet_tpu.core.trainer import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    data_dir = tmp_path / "processed"
+    rng = np.random.default_rng(23)
+    for cid in ("0001", "0002", "0003"):
+        _write_norm_case(data_dir, cid, (20, 20, 24), rng)
+    write_split_files(tmp_path / "splits", ["0001", "0002", "0003"], ["0001"])
+
+    def make_cfg(shard):
+        cfg = Config()
+        cfg.data.patch_size = list(PATCH)
+        cfg.data.body_mask.enabled = False
+        cfg.training.batch_size = 8  # spans all 8 virtual devices
+        cfg.training.epochs = 1
+        cfg.tpu.compute_dtype = "float32"
+        cfg.tpu.shard_corpus = shard
+        cfg.tpu.compilation_cache_dir = ""
+        cfg.data_dir = str(data_dir)
+        cfg.splits_dir = str(tmp_path / "splits")
+        return cfg
+
+    t_rep = Trainer(make_cfg(False), workdir=str(tmp_path / "w1"))
+    t_shd = Trainer(make_cfg(True), workdir=str(tmp_path / "w2"))
+    assert t_rep.corpus is not None and not t_rep.corpus.sharded
+    assert t_shd.corpus is not None and t_shd.corpus.sharded
+
+    # ledger: replicated charges 3 rows/chip (a full copy); sharded pads
+    # 3 cases to 8 rows and charges 8/8 = 1 row/chip — exactly 1/3
+    rep_charge = t_rep.ledger.entries["train_corpus"]
+    shd_charge = t_shd.ledger.entries["train_corpus"]
+    assert shd_charge * 3 == rep_charge
+    assert t_shd.corpus.images.shape[0] == 8
+
+    losses_rep = t_rep._flatten_losses(
+        [t_rep._step_on_batch(u) for u in t_rep._dispatch_units(t_rep.train_loader)]
+    )
+    losses_shd = t_shd._flatten_losses(
+        [t_shd._step_on_batch(u) for u in t_shd._dispatch_units(t_shd.train_loader)]
+    )
+    assert len(losses_rep) == len(losses_shd) > 0
+    np.testing.assert_array_equal(np.asarray(losses_rep), np.asarray(losses_shd))
