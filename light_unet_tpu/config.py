@@ -431,6 +431,13 @@ class TpuConfig:
     # 76 ms full forward on 96x48^3 bf16) because it pipelines the two HBM
     # passes better than the kernel's per-sample grid can hide its DMAs.
     use_pallas: bool = False
+    # Fused residual-block Pallas kernel (ops/pallas_block.py): the whole
+    # conv->IN->LeakyReLU->conv->IN->+res block runs per sample with
+    # activations VMEM-resident — one HBM read of x (+1 for the residual
+    # pass) and one write of out vs XLA's ~13-15 activation-sized passes.
+    # Inference-only (no VJP); blocks whose layout doesn't qualify fall
+    # back to the lax path per block (models/fused_forward.py).
+    fused_block: bool = False
     z_bucket: int = 48  # pad volume Z to multiple (bounds recompiles)
     donate_state: bool = True
     # Persistent XLA compilation cache: compiled programs are written here

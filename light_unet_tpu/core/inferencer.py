@@ -22,6 +22,7 @@ serial per-patch forwards.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -127,8 +128,20 @@ class Inferencer:
         # multi-chip: fan the patch grid out over all local devices (no-op
         # on a single chip) — partial maps are psum-blended over ICI
         mesh = mesh_from_config(cfg.tpu)
+        if cfg.tpu.fused_block and jax.default_backend() == "tpu":
+            from light_unet_tpu.models.fused_forward import make_fused_apply
+
+            apply_fn = make_fused_apply(cfg.model, compute_dtype, precision=precision)
+        else:
+            if cfg.tpu.fused_block:
+                print(
+                    "tpu.fused_block requires a TPU backend; using the lax "
+                    f"forward on {jax.default_backend()}",
+                    file=sys.stderr,
+                )
+            apply_fn = lambda p, x: self.model.apply(p, x, train=False)
         self.sw = SlidingWindowInferencer(
-            lambda p, x: self.model.apply(p, x, train=False),
+            apply_fn,
             patch_size=tuple(cfg.data.patch_size),
             overlap=0.5,
             use_gaussian=True,
