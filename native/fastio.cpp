@@ -16,10 +16,12 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
+#include <libdeflate.h>
 #include <zlib.h>
 
 namespace {
@@ -72,6 +74,29 @@ long inflate_prefix(const uint8_t* src, size_t src_len, uint8_t* dst, size_t dst
 
 bool is_gzip(const uint8_t* buf, size_t len) {
   return len >= 2 && buf[0] == 0x1f && buf[1] == 0x8b;
+}
+
+// Whole-stream gzip decode via libdeflate (~2-3x zlib's streaming inflate:
+// 64-bit bit buffer, flat multi-level Huffman tables, no window copies —
+// the decode phase was the largest host cost at 160-370 ms/volume on this
+// 1-core box, VERDICT r4 #8).  Inflate is a deterministic decode, so the
+// output is bit-identical to the zlib path by construction; a fuzz test
+// pins it (tests/unit/test_fastio.py).  Returns bytes produced, or a
+// negative code meaning "use the zlib fallback" (stream larger than the
+// expected NIfTI payload, corrupt data, FASTIO_ZLIB=1 kill switch).
+long inflate_full_libdeflate(const uint8_t* src, size_t src_len, uint8_t* dst,
+                             size_t dst_len) {
+  // read per call (~ns): lets tests/benches A/B both paths in one process
+  if (std::getenv("FASTIO_ZLIB") != nullptr) return kErrGzip;
+  static thread_local libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+  if (!dec) return kErrGzip;
+  size_t actual = 0;
+  libdeflate_result r =
+      libdeflate_gzip_decompress(dec, src, src_len, dst, dst_len, &actual);
+  // SUCCESS with actual < dst_len (member ended early) maps to the same
+  // kErrShort the zlib path reports; anything else falls back to zlib.
+  if (r == LIBDEFLATE_SUCCESS) return static_cast<long>(actual);
+  return kErrGzip;
 }
 
 // Read a whole file into memory.
@@ -191,7 +216,9 @@ int64_t decode_one(const char* path, float* dst, int64_t cap_voxels, uint8_t* hd
     if (n < 0) return n;
     size_t total = static_cast<size_t>(info.vox_offset) + static_cast<size_t>(n) * isz;
     plain.resize(total);
-    long got2 = inflate_prefix(file.data(), file.size(), plain.data(), total);
+    long got2 = inflate_full_libdeflate(file.data(), file.size(), plain.data(), total);
+    if (got2 < 0)  // larger-than-payload stream / odd data: zlib prefix decode
+      got2 = inflate_prefix(file.data(), file.size(), plain.data(), total);
     if (got2 < static_cast<long>(total)) return kErrShort;
     data = plain.data();
     data_len = plain.size();
@@ -415,6 +442,6 @@ int fastio_quantize_pad(const float* src, const int64_t* dims,
   return kOk;
 }
 
-int fastio_version() { return 3; }
+int fastio_version() { return 4; }
 
 }  // extern "C"

@@ -258,3 +258,51 @@ class TestQuantizePad:
         fallback = np.asarray(pipe.prepare(img)[0])
         assert native.dtype == fallback.dtype == np.uint16
         assert np.array_equal(native, fallback)
+
+
+class TestLibdeflateDecode:
+    """The libdeflate whole-stream gzip decode (fastio_version 4) must be
+    bit-identical to the zlib fallback (FASTIO_ZLIB=1 forces it)."""
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.int16, np.uint8])
+    def test_paths_bit_identical(self, tmp_path, rng, lib_available,
+                                 monkeypatch, dtype):
+        data = (rng.random((17, 9, 23)) * 200 - 50).astype(dtype)
+        path = tmp_path / "vol.nii.gz"
+        nifti.save(nifti.Nifti1Image(data, np.eye(4)), path)
+
+        monkeypatch.setenv("FASTIO_ZLIB", "1")
+        a_zlib, h_zlib = fastio.load_f32(path)
+        monkeypatch.delenv("FASTIO_ZLIB")
+        a_ld, h_ld = fastio.load_f32(path)
+
+        assert np.array_equal(a_zlib, a_ld)
+        assert h_zlib.to_bytes() == h_ld.to_bytes()
+
+    def test_fuzz_sizes_and_levels(self, tmp_path, rng, lib_available,
+                                   monkeypatch):
+        # odd shapes + gzip levels: member boundaries land anywhere
+        for i, (shape, level) in enumerate(
+            [((1, 1, 1), 1), ((5, 7, 3), 9), ((31, 2, 64), 6),
+             ((8, 8, 8), 0), ((13, 1, 255), 1)]
+        ):
+            data = (rng.random(shape) * 1000).astype(np.float32)
+            path = tmp_path / f"f{i}.nii.gz"
+            nifti.save(nifti.Nifti1Image(data, np.eye(4)), path,
+                       compresslevel=level)
+            monkeypatch.setenv("FASTIO_ZLIB", "1")
+            a_zlib, _ = fastio.load_f32(path)
+            monkeypatch.delenv("FASTIO_ZLIB")
+            a_ld, _ = fastio.load_f32(path)
+            assert np.array_equal(a_zlib, a_ld), (shape, level)
+
+    def test_trailing_garbage_falls_back(self, tmp_path, rng, lib_available):
+        # gzip stream with trailing bytes after the member: libdeflate
+        # rejects, the zlib prefix decode must still serve the volume
+        data = (rng.random((6, 5, 4)) * 10).astype(np.float32)
+        path = tmp_path / "trail.nii.gz"
+        nifti.save(nifti.Nifti1Image(data, np.eye(4)), path)
+        with open(path, "ab") as f:
+            f.write(b"\x00garbage-after-member")
+        arr, _ = fastio.load_f32(path)
+        np.testing.assert_allclose(arr, data)
