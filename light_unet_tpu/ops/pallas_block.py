@@ -71,6 +71,14 @@ _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 _TAPS = [(kd, kh, kw) for kd in (-1, 0, 1) for kh in (-1, 0, 1) for kw in (-1, 0, 1)]
 
 
+def _pad_h(h: int) -> int:
+    """Sublane-pad H to a multiple of 8: Mosaic requires HBM<->VMEM DMA
+    window extents along the second-minor (sublane) dim to be 8-aligned,
+    so H=6/12 volumes ship with zero pad rows (masked in-kernel; the
+    48^3/24^3 hot shapes are already aligned and take the unpadded path)."""
+    return -(-h // 8) * 8
+
+
 def _pick_sd(d: int) -> int:
     """Slab depth: largest divisor of D that is <= 8."""
     for sd in (8, 6, 4, 3, 2, 1):
@@ -79,10 +87,21 @@ def _pick_sd(d: int) -> int:
     return 1
 
 
+def _pad_lanes(n: int) -> int:
+    """Lane-pad to a multiple of 128: Mosaic DMA window extents along the
+    minor (lane) dim must be 128-aligned, so the cin==1 init block's
+    WCin=W lanes ship zero-padded (zero rows in the pointwise matrix
+    nullify whatever the depthwise taps smear into the pad lanes)."""
+    return -(-n // LANE) * LANE
+
+
 def _pw_blocking(cin: int, c: int, wcin: int, wcout: int):
-    """(ib, ob, n_blocks) for the block-diagonal pointwise matmul."""
+    """(ib, ob, n_blocks) for the block-diagonal pointwise matmul.
+
+    ``ib * n_blocks`` is the PADDED input lane count the kernel's buffers
+    use (== wcin except for cin==1, where it is wcin lane-padded to 128)."""
     if cin == 1:
-        return wcin, wcout, 1
+        return _pad_lanes(wcin), wcout, 1
     ib = LANE if c >= cin else 2 * LANE
     ob = ib * c // cin
     return ib, ob, wcin // ib
@@ -104,11 +123,13 @@ def fused_block_supported(shape, cin: int, c: int, dtype) -> bool:
         if ib > wcin or wcin % ib != 0 or ob * nb != wcout:
             return False
     sd = _pick_sd(d)
+    hp = _pad_h(h)
+    wcin_p = wcin if cin != 1 else _pad_lanes(wcin)
     itm = jnp.dtype(dtype).itemsize
     vmem = (
-        (sd + 2) * h * wcin * itm      # x slab
-        + 2 * d * h * wcout * itm      # h + h2
-        + sd * h * wcout * itm         # out staging
+        (sd + 2) * hp * wcin_p * itm   # x slab
+        + 2 * d * hp * wcout * itm     # h + h2
+        + sd * hp * wcout * itm        # out staging
         + 2 * 27 * max(wcin, wcout) * 4  # dw tables
         + 3 * 2 * LANE * 2 * LANE * itm  # pw blocks (generous)
         + 2 * 1024 * 1024              # working vregs slop
@@ -225,17 +246,31 @@ def _block_kernel(
     dims, cin: int, c: int, identity: bool, dtype, precision,
 ):
     d, hh, w = dims
+    hp = _pad_h(hh)
     wcin, wcout = w * cin, w * c
     sd = _pick_sd(d)
     n_slabs = d // sd
-    n_spatial = d * hh * w
+    n_spatial = d * hh * w  # stats over REAL rows only (pad rows masked)
     b = pl.program_id(0)
+    # pad-row mask: conv taps smear real row hh-1 into pad rows, so every
+    # plane that feeds statistics or the next conv is re-zeroed beyond hh
+    rmask = (
+        None
+        if hp == hh
+        else jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0) < hh
+    )
+
+    def mask_rows(v):
+        if rmask is None:
+            return v
+        return jnp.where(rmask, v, jnp.zeros_like(v))
 
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (wcout, c), 0) % c
     chan = jax.lax.broadcasted_iota(jnp.int32, (wcout, c), 1)
     onehot = (lane_c == chan).astype(jnp.float32)  # [WC, C]
 
     ib1, ob1, nb1 = _pw_blocking(cin, c, wcin, wcout)
+    wcin_p = ib1 * nb1  # lane-padded input width (== wcin unless cin==1)
 
     def dma_slab(lo: int, hi: int, dst_lo: int):
         cp = pltpu.make_async_copy(
@@ -244,7 +279,7 @@ def _block_kernel(
         cp.start()
         cp.wait()
 
-    zero_plane_in = jnp.zeros((hh, wcin), dtype)
+    zero_plane_in = jnp.zeros((hp, wcin_p), dtype)
 
     # ---- pass 1: conv1 (+ shortcut stats) slab by slab -------------------
     s1 = jnp.zeros((1, wcout), jnp.float32)
@@ -268,8 +303,8 @@ def _block_kernel(
                 return xs[dd - d0 + 1].astype(jnp.float32)
 
             dw = _dw_plane(lambda dd: rd(dd), d0 + di, dw1_ref, cin)
-            hp = _pw_plane(dw, pw1_ref, ib1, ob1, nb1, dtype, precision)
-            hbf = hp.astype(dtype)
+            hpw = _pw_plane(dw, pw1_ref, ib1, ob1, nb1, dtype, precision)
+            hbf = mask_rows(hpw.astype(dtype))
             h_ref[d0 + di] = hbf
             hf = hbf.astype(jnp.float32)
             cs1 = cs1 + jnp.sum(hf, axis=0, keepdims=True)
@@ -296,7 +331,9 @@ def _block_kernel(
 
     # ---- pass 1.5: g = leaky(norm1(h)) in place ---------------------------
     def norm_body(dd, _):
-        g = _leaky(h_ref[dd].astype(jnp.float32) * a1 + b1)
+        # pad rows re-zeroed: norm's +b1 would leave leaky(b1) there, and
+        # conv2 treats rows >= hh as the zero edge
+        g = mask_rows(_leaky(h_ref[dd].astype(jnp.float32) * a1 + b1))
         h_ref[dd] = g.astype(dtype)
         return 0
 
@@ -314,8 +351,8 @@ def _block_kernel(
     def p2_body(dd, carry):
         cs1, cs2 = carry
         dw = _dw_plane(rd_g, dd, dw2_ref, c)
-        hp = _pw_plane(dw, pw2_ref, LANE, LANE, wcout // LANE, dtype, precision)
-        hbf = hp.astype(dtype)
+        hpw = _pw_plane(dw, pw2_ref, LANE, LANE, wcout // LANE, dtype, precision)
+        hbf = mask_rows(hpw.astype(dtype))
         h2_ref[dd] = hbf
         hf = hbf.astype(jnp.float32)
         return (
@@ -365,7 +402,10 @@ def _fused_block_call(
 ):
     bsz = x4.shape[0]
     d, hh, w = dims
+    hp = _pad_h(hh)
     wcin, wcout = w * cin, w * c
+    ibp, _, nbp = _pw_blocking(cin, c, wcin, wcout)
+    wcin_p = ibp * nbp
     sd = _pick_sd(d)
     kern = partial(
         _block_kernel,
@@ -384,12 +424,12 @@ def _fused_block_call(
             wspec(), wspec(),  # sc, sbs
         ],
         out_specs=vspec(),
-        out_shape=jax.ShapeDtypeStruct((bsz, d, hh, wcout), dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, d, hp, wcout), dtype),
         scratch_shapes=[
-            pltpu.VMEM((sd + 2, hh, wcin), dtype),   # xs
-            pltpu.VMEM((d, hh, wcout), dtype),        # h (then g)
-            pltpu.VMEM((d, hh, wcout), dtype),        # h2
-            pltpu.VMEM((sd, hh, wcout), dtype),       # out staging
+            pltpu.VMEM((sd + 2, hp, wcin_p), dtype),  # xs
+            pltpu.VMEM((d, hp, wcout), dtype),        # h (then g)
+            pltpu.VMEM((d, hp, wcout), dtype),        # h2
+            pltpu.VMEM((sd, hp, wcout), dtype),       # out staging
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -397,18 +437,32 @@ def _fused_block_call(
     )(x4, dw1, pw1, sb1, dw2, pw2, sb2, sc, sbs)
 
 
-def _dw_lane_table(dw_kernel, w: int):
-    """[3,3,3,1,C] flax depthwise kernel -> [27, W*C] per-lane tap rows."""
+def _dw_lane_table(dw_kernel, w: int, lanes: int | None = None):
+    """[3,3,3,1,C] flax depthwise kernel -> [27, W*C] per-lane tap rows.
+
+    ``lanes`` (cin==1 only) zero-pads the lane dim to the DMA-aligned
+    width; pad-lane products are discarded by the pointwise matrix's zero
+    rows either way."""
     c = dw_kernel.shape[-1]
     flat = dw_kernel.reshape(27, c).astype(jnp.float32)
-    return jnp.tile(flat, (1, w))
+    tab = jnp.tile(flat, (1, w))
+    if lanes is not None and lanes != tab.shape[1]:
+        tab = jnp.pad(tab, ((0, 0), (0, lanes - tab.shape[1])))
+    return tab
 
 
-def _pw_block_matrix(pw_kernel, ib: int, cin: int, dtype):
-    """[1,1,1,Cin,C] flax pointwise kernel -> shared [ib, ob] diagonal tile."""
+def _pw_block_matrix(pw_kernel, ib: int, cin: int, dtype, rows: int | None = None):
+    """[1,1,1,Cin,C] flax pointwise kernel -> shared [ib, ob] diagonal tile.
+
+    ``rows`` (cin==1 only) zero-pads the input-lane rows to the DMA-aligned
+    width: pad lanes contribute nothing to the matmul, nullifying whatever
+    the depthwise taps smeared into them."""
     pw = pw_kernel.reshape(pw_kernel.shape[-2], pw_kernel.shape[-1])
     nw = ib // cin
-    return jnp.kron(jnp.eye(nw, dtype=pw.dtype), pw).astype(dtype)
+    m = jnp.kron(jnp.eye(nw, dtype=pw.dtype), pw)
+    if rows is not None and rows != m.shape[0]:
+        m = jnp.pad(m, ((0, rows - m.shape[0]), (0, 0)))
+    return m.astype(dtype)
 
 
 def _sb_rows(scale, bias, w: int):
@@ -433,10 +487,16 @@ def fused_residual_block(
     identity = "shortcut_conv" not in blk
     assert fused_block_supported(x.shape, cin, c, dtype), (x.shape, cin, c)
     wcin = w * cin
-    ib1, _, _ = _pw_blocking(cin, c, wcin, w * c)
+    ib1, _, nb1 = _pw_blocking(cin, c, wcin, w * c)
+    wcin_p = ib1 * nb1  # lane-padded input width (== wcin unless cin==1)
+    # cin==1: the diagonal tile is built at the LOGICAL width (one W copy
+    # per input lane) then row-padded to the DMA-aligned ib1
+    ib_logical = wcin if cin == 1 else ib1
 
-    dw1 = _dw_lane_table(blk["conv1"]["depthwise"]["kernel"], w)
-    pw1 = _pw_block_matrix(blk["conv1"]["pointwise"]["kernel"], ib1, cin, dtype)
+    dw1 = _dw_lane_table(blk["conv1"]["depthwise"]["kernel"], w, lanes=wcin_p)
+    pw1 = _pw_block_matrix(
+        blk["conv1"]["pointwise"]["kernel"], ib_logical, cin, dtype, rows=ib1
+    )
     sb1 = _sb_rows(blk["norm1"]["scale"], blk["norm1"]["bias"], w)
     dw2 = _dw_lane_table(blk["conv2"]["depthwise"]["kernel"], w)
     pw2 = _pw_block_matrix(blk["conv2"]["pointwise"]["kernel"], LANE, c, dtype)
@@ -445,14 +505,27 @@ def fused_residual_block(
         sc = jnp.zeros_like(pw1)
         sbs = jnp.zeros_like(sb1)
     else:
-        sc = _pw_block_matrix(blk["shortcut_conv"]["kernel"], ib1, cin, dtype)
+        sc = _pw_block_matrix(
+            blk["shortcut_conv"]["kernel"], ib_logical, cin, dtype, rows=ib1
+        )
         sbs = _sb_rows(blk["shortcut_norm"]["scale"], blk["shortcut_norm"]["bias"], w)
 
     prec = precision if precision is not None else jax.lax.Precision.DEFAULT
     x4 = x.astype(dtype).reshape(bsz, d, hh, wcin)
+    hp = _pad_h(hh)
+    if hp != hh:
+        # sublane-align H for the HBM<->VMEM DMA windows (zero rows double
+        # as the conv's zero edge; the kernel masks them out of the stats)
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, hp - hh), (0, 0)))
+    if wcin_p != wcin:
+        # lane-align W*Cin (cin==1): zero pad lanes are edge-correct for the
+        # depthwise taps; the pointwise matrix's zero rows drop them
+        x4 = jnp.pad(x4, ((0, 0), (0, 0), (0, 0), (0, wcin_p - wcin)))
     y = _fused_block_call(
         x4, dw1, pw1, sb1, dw2, pw2, sb2, sc, sbs,
         dims=(d, hh, w), cin=cin, c=c, identity=identity, dtype=dtype,
         precision=prec, interpret=interpret,
     )
+    if hp != hh:
+        y = y[:, :, :hh]
     return y.reshape(bsz, d, hh, w, c)
