@@ -102,6 +102,12 @@ def run(argv=None) -> int:
 
     enable_compilation_cache(config.tpu.compilation_cache_dir)
 
+    # multi-host entry: must run before first device use so jax.devices()
+    # (and every mesh built from it) spans all processes
+    from light_unet_tpu.parallel.distributed import maybe_distributed_init
+
+    maybe_distributed_init(config.tpu)
+
     # ensure the standard directory tree exists (main.py:71-77)
     for d in (
         args.data_root,

@@ -355,6 +355,16 @@ class TpuConfig:
     patch_batch: int = 192
     data_axis: str = "data"  # mesh axis for data parallelism
     mesh_shape: Optional[List[int]] = None  # default: all local devices on data axis
+    # Multi-host entry (parallel/distributed.py): when true (or when
+    # num_processes > 1), jax.distributed.initialize runs before first
+    # device use, so jax.devices() spans every process and the mesh is
+    # global.  TPU pods autodetect coordinator/count/id from the runtime —
+    # "distributed: true" alone suffices there; CPU smoke clusters set all
+    # three and get gloo TCP collectives wired into the client.
+    distributed: bool = False
+    coordinator_address: Optional[str] = None  # host:port of process 0
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     # Spatially-sharded inference (ops/sliding_window.py
     # sliding_window_core_slab_sharded): the volume is split into z-slabs
     # across the mesh with ppermute halo exchange — per-device memory is
