@@ -60,6 +60,7 @@ def test_layout_contract_serving_shapes():
         ((1, 12, 12, 12, 32), 32, 32),   # identity shortcut
         ((1, 12, 12, 12, 32), 32, 64),   # projection shortcut
         ((2, 8, 12, 48, 1), 1, 16),      # cin=1 (init_conv layout), batch 2
+        ((1, 6, 6, 6, 128), 128, 128),   # bottleneck: H=6 sublane-pad path
     ],
 )
 def test_block_matches_flax_f32(rng, shape, cin, c):
