@@ -60,6 +60,11 @@ def main() -> int:
     ap.add_argument("--patch", type=int, default=None,
                     help="cubic patch size override (CPU smokes: 24)")
     ap.add_argument(
+        "--reuse-data", action="store_true",
+        help="skip phantom generation for cases already present in "
+        "<workdir>/proc (pre-generate on the host while the chip is busy)",
+    )
+    ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (the env pins JAX_PLATFORMS to the TPU "
         "tunnel; env-var overrides are ignored — jax.config is required)",
@@ -91,6 +96,8 @@ def main() -> int:
     (workdir / "proc/labels").mkdir(parents=True, exist_ok=True)
     aff = np.diag([4.0, 4.0, 4.0, 1.0])
     for cid in ids:
+        if args.reuse_data and (workdir / f"proc/labels/{cid}.nii.gz").exists():
+            continue  # whole-body phantoms cost ~CPU-minutes each; keep them
         if args.hard:
             img, lab = make_phantom_hard(rng, shape=tuple(args.shape))
         else:
