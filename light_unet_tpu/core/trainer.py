@@ -67,6 +67,40 @@ from light_unet_tpu.parallel.mesh import (
 EPS = 1e-8
 
 
+def _all_finite(loss, grads):
+    """Scalar bool: the loss and every gradient leaf are finite.
+
+    Replicated across the mesh — the loss is globally flattened and the
+    grads are post-psum, so every device evaluates the same flag."""
+    ok = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+    return ok
+
+
+def _guarded_apply(tx, params, opt_state, grads, loss):
+    """AdamW update that SKIPS non-finite steps instead of poisoning params.
+
+    One inf/nan gradient (e.g. a saturated-loss pow, an overflowed bf16
+    reduction) would otherwise propagate nan into every param and the run
+    never recovers — the reference has no guard either
+    (``light_unet/core/trainer.py:229-236``) and the same divergence killed
+    the 2026-08-19 whole-body hard run at epoch 12.  On a skipped step
+    params, Adam moments and the step count are all left unchanged
+    (``optax.apply_if_finite`` semantics, inlined here so the opt_state tree
+    keeps its ``inject_hyperparams`` shape for ``_set_lr`` + checkpoints).
+
+    Returns ``(params, opt_state, ok)`` with ``ok`` a f32 0/1 flag.
+    """
+    ok = _all_finite(loss, grads)
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    keep = lambda new, old: jnp.where(ok, new, old)
+    params = jax.tree_util.tree_map(keep, new_params, params)
+    opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
+    return params, opt_state, ok.astype(jnp.float32)
+
+
 class _NullWriter:
     """No-op TensorBoard stand-in: training proceeds on minimal installs."""
 
@@ -383,6 +417,8 @@ class Trainer:
             "learning_rate": [],
         }
         self._global_step = 0
+        self._epoch_oks: list = []  # per-step finite-update flags, bulk-synced
+        self.skipped_steps_total = 0  # non-finite updates skipped (run total)
 
         # startup HBM ledger line (VERDICT r3 #5): what is resident, what
         # remains for the lazily-filled validation caches
@@ -494,9 +530,8 @@ class Trainer:
                 return loss_fn(probs, labels)
 
             loss, grads = jax.value_and_grad(compute_loss)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            params, opt_state, ok = _guarded_apply(self.tx, params, opt_state, grads, loss)
+            return params, opt_state, loss, ok
 
         return step_core
 
@@ -539,13 +574,13 @@ class Trainer:
                 p, o = carry
                 corners, key = xs
                 images, labels = gather(corpus_img, corpus_lbl, corners, _patch)
-                p, o, loss = step_core(p, o, images, labels, key)
-                return (p, o), loss
+                p, o, loss, ok = step_core(p, o, images, labels, key)
+                return (p, o), (loss, ok)
 
-            (params, opt_state), losses = jax.lax.scan(
+            (params, opt_state), (losses, oks) = jax.lax.scan(
                 body, (params, opt_state), (corners_k, keys_k)
             )
-            return params, opt_state, losses
+            return params, opt_state, losses, oks
 
         return lambda p, o, ci, cl, ck, kk: train_chain(p, o, ci, cl, ck, kk, patch)
 
@@ -558,7 +593,9 @@ class Trainer:
         Returns the loss as an UN-synchronized device scalar — fetching it
         would block the dispatch pipeline (the reference syncs every step via
         ``loss.item()``, trainer.py:234; here callers batch the sync at log
-        points / epoch end)."""
+        points / epoch end).  The step's finite-update flag (see
+        ``_guarded_apply``) is queued on ``self._epoch_oks`` and synced with
+        the losses at epoch end."""
         if isinstance(batch, np.ndarray) and batch.ndim == 3:  # chained corners
             step_keys = []
             for _ in range(batch.shape[0]):
@@ -568,11 +605,12 @@ class Trainer:
                 corners_k = replicate(batch, self.mesh)
             else:
                 corners_k = shard_chain(batch, self.mesh, self.config.tpu.data_axis)
-            self.params, self.opt_state, losses = self._train_chain(
+            self.params, self.opt_state, losses, oks = self._train_chain(
                 self.params, self.opt_state,
                 self.corpus.images, self.corpus.labels,
                 corners_k, jnp.stack(step_keys),
             )
+            self._epoch_oks.append(oks)
             return losses
         self.rng, step_key = jax.random.split(self.rng)
         if isinstance(batch, np.ndarray) and batch.ndim == 2:  # corpus corners
@@ -589,15 +627,17 @@ class Trainer:
                 self.corpus.images, self.corpus.labels, corners,
                 tuple(self.config.data.patch_size),
             )
-            self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, loss, ok = self._train_step(
                 self.params, self.opt_state, images, labels, step_key
             )
+            self._epoch_oks.append(ok)
             return loss
         images, labels = batch
         sharded = shard_batch((images, labels), self.mesh, self.config.tpu.data_axis)
-        self.params, self.opt_state, loss = self._train_step(
+        self.params, self.opt_state, loss, ok = self._train_step(
             self.params, self.opt_state, sharded[0], sharded[1], step_key
         )
+        self._epoch_oks.append(ok)
         return loss
 
     def _dispatch_units(self, loader):
@@ -632,6 +672,33 @@ class Trainer:
         step order."""
         return [float(x) for l in device_losses for x in np.atleast_1d(np.asarray(l))]
 
+    @staticmethod
+    def _finite_mean(losses) -> float:
+        """Mean over the finite entries only — a skipped (non-finite) step's
+        loss is diagnostic, not a training signal, and one nan would poison
+        the epoch average the log/scheduler/history consume."""
+        if not losses:
+            return 0.0
+        finite = [x for x in losses if np.isfinite(x)]
+        return sum(finite) / len(finite) if finite else float("nan")
+
+    def _drain_skipped(self, epoch: int) -> int:
+        """Sync the queued finite-update flags; count + report skipped steps."""
+        if not self._epoch_oks:
+            return 0
+        flags = np.concatenate([np.atleast_1d(np.asarray(o)) for o in self._epoch_oks])
+        self._epoch_oks = []
+        skipped = int(np.sum(flags == 0.0))
+        if skipped:
+            self.skipped_steps_total += skipped
+            self.writer.add_scalar("Train/skipped_steps", skipped, epoch)
+            print(
+                f"  WARNING: skipped {skipped} non-finite update(s) this epoch "
+                f"({self.skipped_steps_total} total this run)",
+                flush=True,
+            )
+        return skipped
+
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> float:
         if self.mode == "fl_epoch_plus_dlbcl":
@@ -652,8 +719,10 @@ class Trainer:
             if steps_done >= next_log or steps_done == n_total:
                 next_log = steps_done + log_every
                 rate = steps_done / max(time.time() - t0, 1e-9)
+                cat = jnp.concatenate([jnp.atleast_1d(l) for l in device_losses])
+                fin = jnp.isfinite(cat)
                 avg = float(
-                    jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in device_losses]))
+                    jnp.where(fin, cat, 0.0).sum() / jnp.maximum(fin.sum(), 1)
                 )
                 print(
                     f"  epoch {epoch + 1} step {steps_done}/{n_total} "
@@ -661,11 +730,12 @@ class Trainer:
                     flush=True,
                 )
         losses = self._flatten_losses(device_losses)  # one bulk sync
+        self._drain_skipped(epoch)
         for loss in losses:
-            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+            if np.isfinite(loss):  # nan scalars only make TB warn and plot gaps
+                self.writer.add_scalar("Loss/train_step", loss, self._global_step)
             self._global_step += 1
-        num_batches = len(losses)
-        avg_loss = sum(losses) / max(num_batches, 1)
+        avg_loss = self._finite_mean(losses)
 
         if self.mode == "probabilistic" and self.train_dataset is not None:
             counts = self.train_dataset.get_sample_counts()
@@ -709,21 +779,22 @@ class Trainer:
         # one bulk sync for the whole epoch, then per-step TB scalars
         fl_vals = self._flatten_losses(fl_losses)
         dlbcl_vals = self._flatten_losses(dlbcl_losses)
+        self._drain_skipped(epoch)
         for loss in fl_vals:
-            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
-            self.writer.add_scalar("Loss/fl_step", loss, self._global_step)
+            if np.isfinite(loss):
+                self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+                self.writer.add_scalar("Loss/fl_step", loss, self._global_step)
             self._global_step += 1
         for loss in dlbcl_vals:
-            self.writer.add_scalar("Loss/train_step", loss, self._global_step)
-            self.writer.add_scalar("Loss/dlbcl_step", loss, self._global_step)
+            if np.isfinite(loss):
+                self.writer.add_scalar("Loss/train_step", loss, self._global_step)
+                self.writer.add_scalar("Loss/dlbcl_step", loss, self._global_step)
             self._global_step += 1
 
-        fl_total, fl_steps = sum(fl_vals), len(fl_vals)
-        dlbcl_total, dlbcl_done = sum(dlbcl_vals), len(dlbcl_vals)
-        total_steps = fl_steps + dlbcl_done
-        fl_avg = fl_total / fl_steps if fl_steps else 0.0
-        dlbcl_avg = dlbcl_total / dlbcl_done if dlbcl_done else 0.0
-        combined = (fl_total + dlbcl_total) / total_steps if total_steps else 0.0
+        fl_steps, dlbcl_done = len(fl_vals), len(dlbcl_vals)
+        fl_avg = self._finite_mean(fl_vals)
+        dlbcl_avg = self._finite_mean(dlbcl_vals)
+        combined = self._finite_mean(fl_vals + dlbcl_vals)
 
         self.writer.add_scalar("Domain/fl_steps", fl_steps, epoch)
         self.writer.add_scalar("Domain/dlbcl_steps", dlbcl_done, epoch)
@@ -1143,4 +1214,5 @@ class Trainer:
             "early_stopped": early_stopped,
             "selection_events": self.selection_events,
             "val_fallback_history": self.val_fallback_history,
+            "skipped_steps_total": self.skipped_steps_total,
         }

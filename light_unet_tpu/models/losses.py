@@ -23,6 +23,23 @@ import jax.numpy as jnp
 _BCE_EPS = 1e-7  # clamp for log() on probabilities
 
 
+def _focal_pow(base, gamma):
+    """``base ** gamma`` with a finite gradient at ``base == 0``.
+
+    ``d/dx x**g = g * x**(g-1)`` diverges at x = 0 for g < 1, and the focal
+    term hits base == 0 exactly whenever a batch is predicted perfectly:
+    bf16 sigmoids saturate to exact 0.0/1.0, so an easy batch gives
+    tp == |target|, fp == fn == 0, tversky == 1 — and the inf gradient
+    poisons the params with nan from that step on (observed at epoch 12 of
+    the 2026-08-19 whole-body hard run).  The forward value is unchanged
+    (x**g for x > 0; 0 for x == 0 == the 0**0.75 limit); the subgradient at
+    the loss's minimum is defined as 0.  The reference (f32 torch) has the
+    same hazard, just a smaller trigger surface.
+    """
+    pos = base > 0.0
+    return jnp.where(pos, jnp.where(pos, base, 1.0) ** gamma, 0.0)
+
+
 def focal_tversky_loss(pred, target, alpha=0.7, beta=0.3, gamma=0.75, smooth=1e-6):
     """Focal Tversky loss on probabilities; global flatten over batch."""
     pred = pred.reshape(-1).astype(jnp.float32)
@@ -31,7 +48,7 @@ def focal_tversky_loss(pred, target, alpha=0.7, beta=0.3, gamma=0.75, smooth=1e-
     fp = jnp.sum(pred * (1.0 - target))
     fn = jnp.sum((1.0 - pred) * target)
     tversky = (tp + smooth) / (tp + alpha * fn + beta * fp + smooth)
-    return (1.0 - tversky) ** gamma
+    return _focal_pow(1.0 - tversky, gamma)
 
 
 def bce_loss(pred, target):
@@ -78,7 +95,7 @@ def masked_loss(pred, target, valid_mask, *, name, alpha, beta, gamma,
         fp = jnp.sum(pred * (1.0 - target) * m)
         fn = jnp.sum((1.0 - pred) * target)
         tversky = (tp + 1e-6) / (tp + alpha * fn + beta * fp + 1e-6)
-        return (1.0 - tversky) ** gamma
+        return _focal_pow(1.0 - tversky, gamma)
 
     def bce():
         p = jnp.clip(pred, _BCE_EPS, 1.0 - _BCE_EPS)

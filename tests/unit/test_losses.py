@@ -97,3 +97,32 @@ def test_losses_differentiable(data):
     pred, target = data
     g = jax.grad(lambda p: losses.focal_tversky_loss(p, jnp.asarray(target)))(jnp.asarray(pred))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ftl_grad_finite_at_perfect_prediction():
+    """tversky == 1 exactly (bf16 sigmoids saturate to 0/1 on easy batches)
+    must NOT produce an inf gradient: d/dx x**0.75 diverges at x == 0, which
+    poisoned the 2026-08-19 whole-body run with nan params at epoch 12."""
+    import jax
+
+    t = np.zeros((1, 4, 4, 4, 1), np.float32)
+    t[0, 1:3, 1:3, 1:3, 0] = 1.0
+    pred = jnp.asarray(t)  # pred == target exactly -> tp=|t|, fp=fn=0
+    loss, g = jax.value_and_grad(
+        lambda p: losses.focal_tversky_loss(p, jnp.asarray(t))
+    )(pred)
+    assert float(loss) == 0.0  # forward value unchanged by the safe pow
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_array_equal(np.asarray(g), 0.0)  # subgradient at the min
+
+    # the masked variant has the same pow
+    m = jnp.ones_like(pred)
+    loss_m, g_m = jax.value_and_grad(
+        lambda p: losses.masked_loss(
+            p, jnp.asarray(t), m, name="FocalTverskyLoss",
+            alpha=0.7, beta=0.3, gamma=0.75,
+            use_combined=False, ftl_weight=0.8, bce_weight=0.2,
+        )
+    )(pred)
+    assert float(loss_m) == 0.0
+    assert np.isfinite(np.asarray(g_m)).all()
